@@ -1,0 +1,163 @@
+"""Configuration dataclasses.
+
+Replaces the reference's interactive ``input()`` menus and hardcoded literals
+(main.py:85-97,123-233; SURVEY.md §5 config row) with a typed config tree and
+per-game presets mirroring BASELINE.json's benchmark configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class MCTSConfig:
+    """Search hyperparameters.
+
+    ``formula='reference'`` reproduces the reference PUCT exactly:
+    ``Q + prior·√N_parent/(n_child+1)`` with no exploration constant
+    (utils.py:36-40, SURVEY.md §2.4-4).  ``'alphazero'`` is standard PUCT
+    with ``c_puct``.  Vanilla (model-free) search always uses the reference
+    UCB1 ``Q + √(2·ln N_parent/(n_child+1))`` (utils.py:38,43).
+    """
+
+    num_simulations: int = 100
+    formula: str = "reference"  # 'reference' | 'alphazero'
+    c_puct: float = 1.25
+    dirichlet_eps: float = 0.25   # utils.py:12
+    dirichlet_alpha: float = 0.03  # utils.py:12
+    use_dirichlet: bool = True
+    # Moves before which actions are visit-sampled rather than argmax
+    # (gomoku.py:144 uses 8; test.py:87 arena uses 20).
+    temperature_moves: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Policy/value network.  ``family='vit'`` mirrors ai/nn.py exactly;
+    ``'resnet'`` is the conv tower from BASELINE.json's configs."""
+
+    family: str = "vit"  # 'vit' | 'resnet' | 'mlp'
+    # ViT (reference production config, main.py:134)
+    embed_dim: int = 512
+    patch_size: int = 5
+    num_heads: int = 8
+    depth: int = 1
+    dropout: float = 0.1
+    # ResNet
+    channels: int = 64
+    blocks: int = 4
+    # Numerics: bfloat16 activations on TPU, float32 params.
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class ReplayConfig:
+    capacity: int = 100_000        # main.py:127
+    # Positions before this move index get 1 (unaugmented) row; later
+    # positions get the full symmetry orbit (train.py:39, SURVEY.md §2.4-9).
+    augment_skip_moves: int = 2
+    augment: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 512          # main.py:153
+    learning_rate: float = 2.5e-4  # main.py:43
+    l2_coeff: float = 1e-4         # train.py:101
+    # SGD steps per outer iteration = buffer_size // batch_size (main.py:35)
+    train_steps_per_iter: Optional[int] = None
+    # Self-play games per outer iteration (collect_data_iterations)
+    games_per_iter: int = 128
+    # Parallel self-play games per device batch
+    selfplay_batch: int = 256
+    # Gating (main.py:48-81 — the reference stubs the gate; we implement it
+    # with a flag to disable for reference-parity runs, SURVEY.md §2.4-6)
+    gate_enabled: bool = True
+    gate_threshold: float = 0.55   # main.py:50
+    gate_games: int = 64
+    # Data-collection doubling after 2 consecutive rejections (main.py:25-28)
+    reject_double_after: int = 2
+    outer_iterations: int = 1000   # main.py:23
+    # Vanilla-MCTS sanity match cadence (main.py:74-76)
+    vanilla_eval_every: int = 15
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh axes: game batch + gradients shard over 'data';
+    'model' is reserved for tensor-parallel sharding of wide nets."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    env: str = "connect4"
+    mcts: MCTSConfig = MCTSConfig()
+    model: ModelConfig = ModelConfig()
+    replay: ReplayConfig = ReplayConfig()
+    train: TrainConfig = TrainConfig()
+    mesh: MeshConfig = MeshConfig()
+
+
+# ---------------------------------------------------------------- presets
+# Mirror BASELINE.json's benchmark configs.
+
+def preset(name: str) -> Config:
+    presets = {
+        # "tictactoe self-play: MCTS 50 sims/move + small conv policy/value
+        # net (CPU-runnable)"
+        "tictactoe": Config(
+            env="tictactoe",
+            mcts=MCTSConfig(num_simulations=50, dirichlet_alpha=0.35,
+                            temperature_moves=4),
+            model=ModelConfig(family="resnet", channels=32, blocks=2),
+            train=TrainConfig(batch_size=256, selfplay_batch=256,
+                              games_per_iter=256),
+            replay=ReplayConfig(capacity=50_000),
+        ),
+        # "connect4 self-play: MCTS 200 sims/move, batched 512 parallel games"
+        "connect4": Config(
+            env="connect4",
+            mcts=MCTSConfig(num_simulations=200, dirichlet_alpha=0.3),
+            model=ModelConfig(family="resnet", channels=64, blocks=4),
+            train=TrainConfig(batch_size=512, selfplay_batch=512,
+                              games_per_iter=512),
+        ),
+        # "gomoku 9x9: deeper net, MCTS 400 sims/move"
+        "gomoku9": Config(
+            env="gomoku9",
+            mcts=MCTSConfig(num_simulations=400, dirichlet_alpha=0.1),
+            model=ModelConfig(family="resnet", channels=128, blocks=8),
+            train=TrainConfig(batch_size=512, selfplay_batch=256,
+                              games_per_iter=256),
+        ),
+        # "gomoku 15x15: full-size net, Dirichlet-noise root exploration,
+        # large replay buffer"
+        "gomoku15": Config(
+            env="gomoku15",
+            mcts=MCTSConfig(num_simulations=400, dirichlet_alpha=0.03),
+            model=ModelConfig(family="resnet", channels=192, blocks=10),
+            train=TrainConfig(batch_size=1024, selfplay_batch=256,
+                              games_per_iter=256),
+            replay=ReplayConfig(capacity=500_000),
+        ),
+        # Reference-parity config: the exact reference production setup
+        # (gomoku 7x7, ViT embed 512 depth 1 patch 5, main.py:134).
+        "gomoku7-reference": Config(
+            env="gomoku",
+            mcts=MCTSConfig(num_simulations=100, formula="reference"),
+            model=ModelConfig(family="vit", embed_dim=512, patch_size=5,
+                              num_heads=8, depth=1, dropout=0.1),
+            train=TrainConfig(batch_size=512, gate_enabled=False),
+        ),
+    }
+    if name not in presets:
+        raise ValueError(f"unknown preset {name!r}; have {sorted(presets)}")
+    return presets[name]
