@@ -43,7 +43,7 @@ class Gomoku(Env):
     def valid_mask_board(self, board: jax.Array, move_count: jax.Array) -> jax.Array:
         occ = (board[0] + board[1]).astype(jnp.float32)
         near = jax.lax.reduce_window(
-            occ, 0.0, jax.lax.max, (3, 3), (1, 1), "SAME"
+            occ, jnp.float32(0), jax.lax.max, (3, 3), (1, 1), "SAME"
         )
         empty = occ == 0
         mask = (near > 0) & empty
