@@ -1,0 +1,98 @@
+"""SGD learner (reference: train.train, train.py:85-123).
+
+Loss = soft-target policy cross-entropy + value MSE + manual L2
+(train.py:110-114).  The L2 term reproduces the reference's actual behavior:
+it intends to skip bias and LayerNorm parameters, but torch names contain
+neither "LayerNorm" nor match LN scale — so in practice only parameters
+literally named "bias" are excluded (train.py:104-108); we exclude leaves
+named 'bias' and include everything else (kernels, LN scales, embeddings).
+
+The optimizer is Adam, re-created fresh each outer iteration exactly like
+the reference (train.py:92 constructs a new torch.optim.Adam per train()
+call, resetting the moments).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from alphazero_tpu.config import TrainConfig
+from alphazero_tpu.data.replay import ReplayBuffer, sample
+
+
+class TrainMetrics(NamedTuple):
+    loss: jax.Array
+    policy_loss: jax.Array
+    value_loss: jax.Array
+    l2: jax.Array
+
+
+def l2_penalty(params) -> jax.Array:
+    """Σ w² over all parameters except biases (train.py:101-108)."""
+    total = 0.0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "bias":
+            continue
+        total = total + jnp.sum(leaf.astype(jnp.float32) ** 2)
+    return total
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(cfg.learning_rate)
+
+
+def loss_fn(model, params, obs, policy_target, value_target,
+            l2_coeff: float) -> Tuple[jax.Array, TrainMetrics]:
+    logits, value = model.apply({"params": params}, obs, deterministic=True)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    policy_loss = jnp.mean(jnp.sum(-policy_target * logp, axis=-1))
+    value_loss = jnp.mean((value - value_target) ** 2)
+    l2 = l2_penalty(params)
+    loss = policy_loss + value_loss + l2_coeff * l2
+    return loss, TrainMetrics(loss, policy_loss, value_loss, l2)
+
+
+def make_train_step(model, cfg: TrainConfig) -> Callable:
+    """Jittable ``(params, opt_state, buffer, rng) -> (params, opt_state,
+    metrics)`` doing one Adam step on a uniform replay sample."""
+    opt = make_optimizer(cfg)
+
+    def train_step(params, opt_state, buffer: ReplayBuffer, rng):
+        obs, pol, val = sample(buffer, rng, cfg.batch_size)
+        grads, metrics = jax.grad(
+            lambda p: loss_fn(model, p, obs, pol, val, cfg.l2_coeff),
+            has_aux=True,
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def make_train_epoch(model, cfg: TrainConfig, num_steps: int,
+                     donate: bool = True) -> Callable:
+    """Jitted scan of ``num_steps`` train steps (the reference's
+    ``train_iterations = buffer//batch`` inner loop, train.py:95)."""
+    step = make_train_step(model, cfg)
+
+    def epoch(params, opt_state, buffer: ReplayBuffer, rng):
+        def body(carry, _):
+            params, opt_state, rng = carry
+            rng, k = jax.random.split(rng)
+            params, opt_state, metrics = step(params, opt_state, buffer, k)
+            return (params, opt_state, rng), metrics
+
+        (params, opt_state, _), metrics = jax.lax.scan(
+            body, (params, opt_state, rng), None, length=num_steps
+        )
+        # report the mean over the epoch
+        mean_metrics = jax.tree.map(jnp.mean, metrics)
+        return params, opt_state, mean_metrics
+
+    return jax.jit(epoch, donate_argnums=(0, 1) if donate else ())
