@@ -1,0 +1,205 @@
+"""Outer training loop: collect → train → gate → promote.
+
+The reference's ``start_train_loop`` (main.py:16-83) re-built TPU-first:
+self-play collection and SGD both run as jitted device programs; the gating
+arena is REAL (the reference hardcodes acceptance, main.py:49) with a flag
+to disable for parity runs; rejection doubles data collection after
+``reject_double_after`` consecutive rejections (main.py:25-28); every
+``vanilla_eval_every`` promotions the model plays sanity games against
+vanilla MCTS (main.py:74-76)."""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alphazero_tpu.config import Config, MCTSConfig
+from alphazero_tpu.data import create as create_buffer
+from alphazero_tpu.envs import make_env
+from alphazero_tpu.eval.arena import Agent, compare
+from alphazero_tpu.models import build_model, init_params, make_eval_fn
+from alphazero_tpu.training.learner import make_optimizer, make_train_epoch
+from alphazero_tpu.training.selfplay import init_selfplay, make_selfplay_runner
+from alphazero_tpu.utils.checkpoint import CheckpointManager
+from alphazero_tpu.utils.metrics import MetricsLogger
+
+# Static scan lengths so each jit compiles once.
+SELFPLAY_CHUNK_STEPS = 8
+TRAIN_CHUNK_STEPS = 32
+
+
+class Trainer:
+    """Single-host trainer (multi-host sharding lives in parallel/)."""
+
+    def __init__(self, cfg: Config, workdir: Optional[str] = None,
+                 logger: Optional[MetricsLogger] = None):
+        self.cfg = cfg
+        self.env = make_env(cfg.env)
+        self.model = build_model(cfg.model, self.env)
+        self.log = logger or MetricsLogger()
+
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        rng, pk, sk = jax.random.split(rng, 3)
+        self.rng = rng
+        # best ("older") generates data; contender ("newer") trains
+        # (main.py:134-145).
+        self.params_best = init_params(self.model, self.env, pk)
+        self.params_new = self.params_best
+        self.buffer = create_buffer(self.env, cfg.replay.capacity)
+        self.sp = init_selfplay(self.env, cfg.train.selfplay_batch, sk)
+        self.version = 0
+        self.outer_iter = 0
+        self.reject_count = 0
+
+        self._runner = make_selfplay_runner(
+            self.env, self.model, cfg.mcts, cfg.replay,
+            num_steps=SELFPLAY_CHUNK_STEPS, donate=False,
+        )
+        self._epoch = make_train_epoch(
+            self.model, cfg.train, num_steps=TRAIN_CHUNK_STEPS, donate=False,
+        )
+        self._ckpt = CheckpointManager(f"{workdir}/checkpoints") if workdir else None
+
+    # ------------------------------------------------------------- phases
+    def collect(self, games_target: int) -> dict:
+        """Self-play with the best params until ``games_target`` new games
+        finish (reference collect_data, train.py:54-83)."""
+        start_games = int(self.sp.games_done)
+        start_steps = int(self.sp.env_steps)
+        t0 = time.time()
+        while int(self.sp.games_done) - start_games < games_target:
+            self.sp, self.buffer = self._runner(
+                self.params_best, self.sp, self.buffer
+            )
+        dt = time.time() - t0
+        steps = int(self.sp.env_steps) - start_steps
+        m = {
+            "games": int(self.sp.games_done) - start_games,
+            "env_steps": steps,
+            "env_steps_per_s": steps / max(dt, 1e-9),
+            "sims_per_s": steps * self.cfg.mcts.num_simulations / max(dt, 1e-9),
+            "buffer_size": int(self.buffer.size),
+            "results": np.asarray(self.sp.results).tolist(),
+            "seconds": dt,
+        }
+        self.log.log("collect", **m)
+        return m
+
+    def train_epoch(self) -> dict:
+        """SGD on the contender: buffer//batch steps, fresh Adam state
+        (train.py:85-123, main.py:35)."""
+        steps = max(int(self.buffer.size) // self.cfg.train.batch_size, 1)
+        if self.cfg.train.train_steps_per_iter is not None:
+            steps = self.cfg.train.train_steps_per_iter
+        opt_state = make_optimizer(self.cfg.train).init(self.params_new)
+        t0 = time.time()
+        done, metrics = 0, None
+        while done < steps:
+            self.rng, k = jax.random.split(self.rng)
+            self.params_new, opt_state, metrics = self._epoch(
+                self.params_new, opt_state, self.buffer, k
+            )
+            done += TRAIN_CHUNK_STEPS
+        m = {
+            "steps": done,
+            "loss": float(metrics.loss),
+            "policy_loss": float(metrics.policy_loss),
+            "value_loss": float(metrics.value_loss),
+            "l2": float(metrics.l2),
+            "seconds": time.time() - t0,
+        }
+        self.log.log("train", **m)
+        return m
+
+    def gate(self) -> float:
+        """Contender-vs-best arena → win rate.  Disabled gate auto-accepts
+        like the reference stub (main.py:48-50)."""
+        if not self.cfg.train.gate_enabled:
+            return 1.0
+        self.rng, k = jax.random.split(self.rng)
+        best = Agent(make_eval_fn(self.model, self.params_best), self.cfg.mcts)
+        cont = Agent(make_eval_fn(self.model, self.params_new), self.cfg.mcts)
+        rate, score = compare(self.env, best, cont,
+                              self.cfg.train.gate_games, k, sampling=True)
+        self.log.log("gate", win_rate=rate, score=score.tolist())
+        return rate
+
+    def vanilla_sanity_match(self, games: int = 2) -> float:
+        """Strength floor vs pure-rollout MCTS (main.py:74-76)."""
+        self.rng, k = jax.random.split(self.rng)
+        sims = min(self.cfg.mcts.num_simulations * max(self.version, 1), 400)
+        vanilla = Agent(None, dataclasses.replace(self.cfg.mcts,
+                                                  num_simulations=sims))
+        model_agent = Agent(make_eval_fn(self.model, self.params_best),
+                            self.cfg.mcts)
+        rate, score = compare(self.env, vanilla, model_agent, games, k)
+        self.log.log("vanilla_eval", model_win_rate=rate,
+                     vanilla_sims=sims, score=score.tolist())
+        return rate
+
+    # ------------------------------------------------------------ iteration
+    def iterate(self, vanilla_eval: bool = True) -> dict:
+        """One outer iteration of main.py:23-81."""
+        self.outer_iter += 1
+        games = self.cfg.train.games_per_iter
+        if self.reject_count >= self.cfg.train.reject_double_after:
+            games *= 2  # main.py:25-28
+        cm = self.collect(games)
+        tm = self.train_epoch()
+        rate = self.gate()
+        accepted = rate > self.cfg.train.gate_threshold  # main.py:50
+        if accepted:
+            self.params_best = self.params_new
+            self.version += 1
+            self.reject_count = 0
+            if self._ckpt:
+                self.save_checkpoint()
+            if (vanilla_eval
+                    and self.version % self.cfg.train.vanilla_eval_every == 0):
+                self.vanilla_sanity_match()
+        else:
+            self.params_new = self.params_best  # revert (main.py:79-81)
+            self.reject_count += 1
+        m = {"iter": self.outer_iter, "version": self.version,
+             "accepted": bool(accepted), "gate_rate": rate, **cm, **tm}
+        self.log.log("iteration", **m)
+        return m
+
+    def run(self, iterations: Optional[int] = None):
+        n = iterations or self.cfg.train.outer_iterations
+        for _ in range(n):
+            self.iterate()
+
+    # ---------------------------------------------------------- checkpoint
+    def _state(self):
+        return {
+            "params_best": self.params_best,
+            "params_new": self.params_new,
+            "buffer": self.buffer,
+            "rng": self.rng,
+            "version": jnp.int32(self.version),
+            "outer_iter": jnp.int32(self.outer_iter),
+        }
+
+    def save_checkpoint(self):
+        if self._ckpt:
+            self._ckpt.save(self.version, self._state())
+
+    def restore_checkpoint(self) -> bool:
+        if not self._ckpt:
+            return False
+        restored = self._ckpt.restore(self._state())
+        if restored is None:
+            return False
+        self.params_best = restored["params_best"]
+        self.params_new = restored["params_new"]
+        self.buffer = restored["buffer"]
+        self.rng = restored["rng"]
+        self.version = int(restored["version"])
+        self.outer_iter = int(restored["outer_iter"])
+        return True

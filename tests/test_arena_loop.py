@@ -1,0 +1,88 @@
+"""Arena + outer-loop integration tests (SURVEY.md §4-5)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from alphazero_tpu.config import (Config, MCTSConfig, ModelConfig,
+                                  ReplayConfig, TrainConfig)
+from alphazero_tpu.envs import make_env
+from alphazero_tpu.eval.arena import Agent, compare
+from alphazero_tpu.models import build_model, init_params, make_eval_fn
+from alphazero_tpu.training.loop import Trainer
+
+
+def _tiny_cfg(**over):
+    base = dict(
+        env="tictactoe",
+        mcts=MCTSConfig(num_simulations=16, temperature_moves=2,
+                        dirichlet_alpha=0.35),
+        model=ModelConfig(family="resnet", channels=8, blocks=1,
+                          compute_dtype="float32"),
+        replay=ReplayConfig(capacity=2048),
+        train=TrainConfig(batch_size=32, selfplay_batch=16, games_per_iter=16,
+                          gate_games=8, gate_enabled=True,
+                          train_steps_per_iter=32),
+    )
+    base.update(over)
+    return Config(**base)
+
+
+def test_arena_stronger_search_wins():
+    """More simulations must beat fewer with vanilla agents (strength
+    ordering sanity; the reference uses vanilla matches the same way,
+    main.py:74-76)."""
+    env = make_env("tictactoe")
+    strong = Agent(None, MCTSConfig(num_simulations=128, use_dirichlet=False))
+    weak = Agent(None, MCTSConfig(num_simulations=4, use_dirichlet=False))
+    rate, score = compare(env, strong, weak, games=16,
+                          rng=jax.random.PRNGKey(0))
+    # contender (weak) must NOT dominate; strong should take the majority
+    assert score[0] > score[1], score
+
+
+def test_arena_self_match_is_balanced():
+    env = make_env("tictactoe")
+    agent = Agent(None, MCTSConfig(num_simulations=32, use_dirichlet=False))
+    rate, score = compare(env, agent, agent, games=16,
+                          rng=jax.random.PRNGKey(1))
+    assert 0.0 <= rate <= 1.0
+    assert score[0] + score[1] == 16.0  # draws split evenly
+
+
+def test_trainer_iteration_end_to_end(tmp_path):
+    cfg = _tiny_cfg()
+    tr = Trainer(cfg, workdir=str(tmp_path))
+    m = tr.iterate(vanilla_eval=False)
+    assert m["games"] >= cfg.train.games_per_iter
+    assert np.isfinite(m["loss"])
+    assert m["buffer_size"] > 0
+    assert m["accepted"] in (True, False)
+
+    # gating bookkeeping: rejection reverts params, acceptance promotes
+    if m["accepted"]:
+        assert tr.version == 1
+    else:
+        assert tr.reject_count == 1
+        a = jax.tree.leaves(tr.params_new)
+        b = jax.tree.leaves(tr.params_best)
+        assert all(np.array_equal(np.asarray(x), np.asarray(y))
+                   for x, y in zip(a, b))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _tiny_cfg(train=TrainConfig(batch_size=32, selfplay_batch=16,
+                                      games_per_iter=8, gate_enabled=False,
+                                      train_steps_per_iter=32))
+    tr = Trainer(cfg, workdir=str(tmp_path))
+    tr.iterate(vanilla_eval=False)
+    tr.save_checkpoint()
+
+    tr2 = Trainer(cfg, workdir=str(tmp_path))
+    assert tr2.restore_checkpoint()
+    assert tr2.version == tr.version
+    assert int(tr2.buffer.size) == int(tr.buffer.size)
+    for x, y in zip(jax.tree.leaves(tr.params_best),
+                    jax.tree.leaves(tr2.params_best)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
