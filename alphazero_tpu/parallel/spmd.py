@@ -1,0 +1,126 @@
+"""Sharded actor-learner super-step.
+
+One jitted SPMD program per outer chunk: K lockstep self-play moves for the
+sharded game batch (actors data-parallel over 'data', network optionally
+tensor-parallel over 'model') followed by M SGD steps whose batch is
+sharded over 'data' — the gradient all-reduce is inserted by XLA.
+
+This is the multi-chip form of the reference's sequential
+collect_data → train alternation (main.py:33-44), with the process/device
+boundaries replaced by shardings (SURVEY.md §2.3 actor/learner row)."""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from alphazero_tpu.config import Config
+from alphazero_tpu.data.replay import ReplayBuffer, sample
+from alphazero_tpu.parallel.mesh import (
+    batch_pytree_sharding, data_sharded, replicated,
+    replicated_param_sharding, vit_param_sharding,
+)
+from alphazero_tpu.training.learner import loss_fn, make_optimizer
+from alphazero_tpu.training.selfplay import SelfPlayState, selfplay_step
+from alphazero_tpu.data.augment import Symmetries
+
+
+def make_super_step(env, model, cfg: Config, mesh: Mesh,
+                    selfplay_steps: int, train_steps: int,
+                    tensor_parallel: Optional[bool] = None) -> Callable:
+    """Build ``super_step(params, sp, buffer, rng) ->
+    (params, sp, buffer, rng, metrics)`` jitted over ``mesh``.
+
+    The optimizer state is created inside (fresh Adam per epoch — the
+    reference's semantics, train.py:92), so only params/sp/buffer shard.
+    """
+    if tensor_parallel is None:
+        tensor_parallel = (cfg.model.family == "vit"
+                           and mesh.shape["model"] > 1)
+    syms = Symmetries(env)
+    opt = make_optimizer(cfg.train)
+    dsh = data_sharded(mesh)
+
+    def super_step(params, sp: SelfPlayState, buffer: ReplayBuffer, rng):
+        def eval_fn(obs):
+            logits, value = model.apply({"params": params}, obs,
+                                        deterministic=True)
+            return jax.nn.softmax(logits, axis=-1), value
+
+        # ---- actors: K lockstep moves over the sharded game batch
+        def sp_body(carry, _):
+            sp, buffer = carry
+            sp, buffer = selfplay_step(env, eval_fn, cfg.mcts, cfg.replay,
+                                       syms, sp, buffer)
+            return (sp, buffer), None
+
+        (sp, buffer), _ = jax.lax.scan(sp_body, (sp, buffer), None,
+                                       length=selfplay_steps)
+
+        # ---- learner: M data-parallel SGD steps
+        opt_state = opt.init(params)
+
+        def tr_body(carry, _):
+            params, opt_state, rng = carry
+            rng, k = jax.random.split(rng)
+            obs, pol, val = sample(buffer, k, cfg.train.batch_size)
+            # constrain the batch onto the data axis so the forward/backward
+            # run data-parallel and the gradient psum rides ICI
+            obs = jax.lax.with_sharding_constraint(obs, dsh)
+            pol = jax.lax.with_sharding_constraint(pol, dsh)
+            val = jax.lax.with_sharding_constraint(val, dsh)
+            grads, metrics = jax.grad(
+                lambda p: loss_fn(model, p, obs, pol, val,
+                                  cfg.train.l2_coeff),
+                has_aux=True,
+            )(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            import optax
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), metrics
+
+        (params, opt_state, rng), metrics = jax.lax.scan(
+            tr_body, (params, opt_state, rng), None, length=train_steps
+        )
+        mean_metrics = jax.tree.map(jnp.mean, metrics)
+        return params, sp, buffer, rng, mean_metrics
+
+    return super_step
+
+
+def shardings_for(env, model, cfg: Config, mesh: Mesh, params,
+                  sp: SelfPlayState, buffer: ReplayBuffer,
+                  tensor_parallel: Optional[bool] = None):
+    """(param, sp, buffer, rng) sharding trees for placing the state."""
+    if tensor_parallel is None:
+        tensor_parallel = (cfg.model.family == "vit"
+                           and mesh.shape["model"] > 1)
+    p_sh = (vit_param_sharding(params, mesh) if tensor_parallel
+            else replicated_param_sharding(params, mesh))
+    sp_sh = batch_pytree_sharding(sp, mesh, sp.t.shape[0])
+    # the replay buffer replicates (capacity rows are shared training data)
+    buf_sh = jax.tree.map(lambda _: replicated(mesh), buffer)
+    return p_sh, sp_sh, buf_sh, replicated(mesh)
+
+
+def jit_super_step(env, model, cfg: Config, mesh: Mesh, params, sp, buffer,
+                   selfplay_steps: int, train_steps: int,
+                   tensor_parallel: Optional[bool] = None):
+    """Jit the super-step with explicit in/out shardings and place state."""
+    fn = make_super_step(env, model, cfg, mesh, selfplay_steps, train_steps,
+                         tensor_parallel)
+    p_sh, sp_sh, buf_sh, r_sh = shardings_for(
+        env, model, cfg, mesh, params, sp, buffer, tensor_parallel
+    )
+    jitted = jax.jit(
+        fn,
+        in_shardings=(p_sh, sp_sh, buf_sh, r_sh),
+        out_shardings=(p_sh, sp_sh, buf_sh, r_sh, None),
+    )
+    params = jax.device_put(params, p_sh)
+    sp = jax.tree.map(jax.device_put, sp, sp_sh)
+    buffer = jax.tree.map(jax.device_put, buffer, buf_sh)
+    return jitted, params, sp, buffer
