@@ -34,6 +34,24 @@ class Connect4(Env):
     def valid_mask_board(self, board: jax.Array, move_count: jax.Array) -> jax.Array:
         return (board[0, 0] + board[1, 0]) == 0
 
+    def path_cells(self, root_board: jax.Array, actions: jax.Array,
+                   mask: jax.Array) -> jax.Array:
+        """Gravity along a path without replay: the drop row of move d is
+        the root column height plus the number of EARLIER path moves in the
+        same column — a pairwise comparison, not a scan."""
+        B, D = actions.shape
+        heights = (root_board[:, 0] + root_board[:, 1]).sum(axis=1)  # (B, C)
+        col_oh = jax.nn.one_hot(jnp.where(mask, actions, self.cols),
+                                self.cols, dtype=jnp.float32)        # (B,D,C)
+        base = jnp.einsum("bdc,bc->bd", col_oh,
+                          heights.astype(jnp.float32))               # (B, D)
+        same_col = jnp.einsum("bdc,bec->bde", col_oh, col_oh)        # (B,D,D)
+        earlier = (jnp.arange(D)[None, :, None]
+                   > jnp.arange(D)[None, None, :]).astype(jnp.float32)
+        prior_cnt = jnp.einsum("bde,bde->bd", same_col, earlier)
+        row = self.rows - 1 - (base + prior_cnt).astype(jnp.int32)
+        return row * self.cols + actions
+
     def symmetries(self) -> Tuple[np.ndarray, np.ndarray]:
         """Identity + left-right flip only: gravity breaks rotations
         (the reference's dihedral-8 is invalid here, SURVEY.md §2.4-2)."""

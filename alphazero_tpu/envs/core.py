@@ -186,6 +186,39 @@ class Env:
             planes.append(jnp.full((self.rows, self.cols), player, dtype=jnp.int8))
         return jnp.stack(planes).astype(jnp.float32)
 
+    def path_cells(self, root_board: jax.Array, actions: jax.Array,
+                   mask: jax.Array) -> jax.Array:
+        """Flat board cell of each action along a move path.
+
+        Args: batched ``root_board (B, 2, R, C)``, ``actions (B, D)``,
+        ``mask (B, D)`` (True = move exists).  Default: actions ARE cells.
+        Overridden by connect4 (gravity depends on path prefix).
+        """
+        return actions
+
+    def apply_path(self, root_board: jax.Array, root_player: jax.Array,
+                   actions: jax.Array, mask: jax.Array) -> jax.Array:
+        """Board after playing ``actions`` (masked) from the root — fully
+        vectorized (no scan): stone placement is a one-hot sum over path
+        positions.  Players alternate starting from ``root_player``.
+
+        This replaces per-node board storage in the tree: a search leaf's
+        board is reconstructed from its path in O(D·R·C) fused work
+        (SURVEY.md §7: "recomputed by replay along the path").
+        """
+        B, D = actions.shape
+        RC = self.rows * self.cols
+        cells = self.path_cells(root_board, actions, mask)
+        cell_oh = jax.nn.one_hot(
+            jnp.where(mask, cells, RC), RC, dtype=jnp.float32
+        )                                                     # (B, D, RC)
+        parity = (root_player[:, None] + jnp.arange(D)[None, :]) % 2  # (B, D)
+        player_oh = jax.nn.one_hot(parity, 2, dtype=jnp.float32)      # (B,D,2)
+        delta = jnp.einsum("bdp,bdc->bpc", player_oh, cell_oh,
+                           preferred_element_type=jnp.float32)
+        board = root_board.astype(jnp.float32).reshape(B, 2, RC) + delta
+        return (board.reshape(B, 2, self.rows, self.cols) > 0.5).astype(jnp.int8)
+
     def won_batch(self, planes: jax.Array) -> jax.Array:
         """Batched win check: ``planes (..., R, C)`` → bool ``(...)``."""
         occ = planes.reshape(planes.shape[:-2] + (-1,)).astype(jnp.float32)

@@ -1,20 +1,24 @@
-"""Fixed-size batched search-tree arrays.
+"""Fixed-size batched search-tree arrays — MXU-native layout.
 
 Replaces the reference's Python object graph (``Node`` with parent/children
 pointers, ai/node.py:21-40) with struct-of-arrays storage over a
 ``(batch, num_nodes)`` grid so that thousands of independent trees advance in
 lockstep under ``jit``.
 
-Layout decisions (TPU-first, SURVEY.md §7):
-  * One node slot per simulation (slot ``i+1`` belongs to simulation ``i``;
-    slot 0 is the root; the last slot is a write-off "trash" row used to
-    redirect masked scatters).  A simulation whose leaf is a terminal revisit
-    simply leaves its slot unreachable — memory for control-flow simplicity.
-  * Edge statistics live on the child node (visit/value_sum), exactly like
-    the reference where ``child.value``/``child.visit`` are the edge stats
-    (ai/node.py:27-28).
-  * Boards are stored per node (int8 stone planes) so descent never replays
-    move sequences; an allocation is one functional board update.
+Layout decisions (TPU-first; driven by measurement — see ops/gather.py):
+  * One node slot per simulation (slot ``i`` belongs to simulation ``i``;
+    slot 0 is the root).  A simulation whose leaf is a terminal revisit
+    leaves its slot unused — memory traded for static control flow.
+  * All per-game dynamic indexing is one-hot einsum on the MXU; per-node
+    stats pack into one ``(B, N, 3)`` array ``[visit, value_sum, expanded]``
+    so descent reads child visit/Q/expandedness in a single contraction.
+  * Edge statistics live on the child node, exactly like the reference
+    where ``child.value``/``child.visit`` are the edge stats (ai/node.py:27-28).
+  * NO per-node boards: a leaf's board is reconstructed from its path by
+    ``env.apply_path`` (one fused one-hot sum), and backup is ONE einsum
+    over the recorded path instead of a parent-pointer walk.
+  * ``prior`` holds action priors with ``-inf`` at invalid actions — the
+    legality mask and the PUCT numerator in one array.
 """
 
 from __future__ import annotations
@@ -22,6 +26,22 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from flax import struct
+
+VISIT, VALUE, EXPANDED = 0, 1, 2  # stats channels
+
+
+def neg_inf(dtype) -> float:
+    """Large finite negative standing in for -inf in prior arrays.
+
+    True -inf breaks one-hot matmul gathers (0 * -inf = NaN on the MXU);
+    any penalty dominating |Q| + the largest explore term is equivalent for
+    the argmax.  Kept within dtype range so it stays finite when scaled.
+    """
+    if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16):
+        return -1e34
+    if jnp.dtype(dtype) == jnp.dtype(jnp.float16):
+        return -3e4
+    return -1e30
 
 
 @struct.dataclass
@@ -33,75 +53,54 @@ class Tree:
     (identical selection statistics, SURVEY.md §7 design stance).
     """
 
-    visit: jax.Array          # (B, N) int32
-    value_sum: jax.Array      # (B, N) float   — ref node.value (ai/node.py:28)
-    prior: jax.Array          # (B, N, A) float — action priors set at expansion
-    valid: jax.Array          # (B, N, A) bool  — legal actions at the node
-    children: jax.Array       # (B, N, A) int32 — child slot or -1
-    parent: jax.Array         # (B, N) int32    — parent slot or -1 (root)
-    action_in: jax.Array      # (B, N) int32    — action that led here
-    player: jax.Array         # (B, N) int32    — player to move at the node
-    board: jax.Array          # (B, N, 2, R, C) int8
-    move_count: jax.Array     # (B, N) int32
-    expanded: jax.Array       # (B, N) bool
-    terminal: jax.Array       # (B, N) bool
-    terminal_value: jax.Array # (B, N) float — backup value for terminal leaves
-                              #   (+1 win for the mover, 0 draw; ai/mcts.py:25-31)
+    stats: jax.Array       # (B, N, 3) float — [visit, value_sum, expanded]
+    prior: jax.Array       # (B, N, A) float — priors, -inf at invalid actions
+    children: jax.Array    # (B, N, A) float — child slot index or -1
+    root_board: jax.Array  # (B, 2, R, C) int8
+    root_player: jax.Array # (B,) int32
+    root_move_count: jax.Array  # (B,) int32
 
     @property
     def num_nodes(self) -> int:
-        return self.visit.shape[1]
+        return self.stats.shape[1]
 
     @property
     def batch_size(self) -> int:
-        return self.visit.shape[0]
-
-    @property
-    def trash_row(self) -> int:
-        return self.num_nodes - 1
+        return self.stats.shape[0]
 
 
-def init_tree(env, boards, players, move_counts, dones, num_simulations,
+def init_tree(env, boards, players, move_counts, num_simulations,
               value_dtype=jnp.float32) -> Tree:
-    """Build fresh trees rooted at the given batched positions.
+    """Fresh trees rooted at the given batched positions.
 
-    N = num_simulations + 2: root + one slot per simulation + trash row.
-    A done game's root is marked terminal so lockstep search is a no-op for it.
+    N = num_simulations + 1 (root + one slot per loop simulation; the
+    out-of-range fill index N maps to zero one-hot rows, so no trash row is
+    needed).  The root is expanded separately before the simulation loop.
     """
     B = boards.shape[0]
-    N = num_simulations + 2
+    N = num_simulations + 1
     A = env.action_dim
-    root_valid = jax.vmap(env.valid_mask_board)(boards, move_counts)
     return Tree(
-        visit=jnp.zeros((B, N), jnp.int32),
-        value_sum=jnp.zeros((B, N), value_dtype),
-        prior=jnp.zeros((B, N, A), value_dtype),
-        valid=jnp.zeros((B, N, A), jnp.bool_).at[:, 0].set(root_valid),
-        children=jnp.full((B, N, A), -1, jnp.int32),
-        parent=jnp.full((B, N), -1, jnp.int32),
-        action_in=jnp.full((B, N), -1, jnp.int32),
-        player=jnp.zeros((B, N), jnp.int32).at[:, 0].set(players),
-        board=jnp.zeros((B, N) + boards.shape[1:], jnp.int8).at[:, 0].set(boards),
-        move_count=jnp.zeros((B, N), jnp.int32).at[:, 0].set(move_counts),
-        expanded=jnp.zeros((B, N), jnp.bool_),
-        terminal=jnp.zeros((B, N), jnp.bool_).at[:, 0].set(dones),
-        terminal_value=jnp.zeros((B, N), value_dtype),
+        stats=jnp.zeros((B, N, 3), value_dtype),
+        prior=jnp.full((B, N, A), neg_inf(value_dtype), value_dtype),
+        children=jnp.full((B, N, A), -1.0, value_dtype),
+        root_board=boards.astype(jnp.int8),
+        root_player=players.astype(jnp.int32),
+        root_move_count=move_counts.astype(jnp.int32),
     )
 
 
 def root_visit_counts(tree: Tree) -> jax.Array:
     """Visit counts of the root's children per action, ``(B, A)`` int32
     (the reference's visit→policy distribution, utils.py:46-55)."""
-    B = tree.batch_size
-    child = tree.children[:, 0, :]                      # (B, A)
-    safe = jnp.maximum(child, 0)
-    counts = jnp.take_along_axis(tree.visit, safe, axis=1)
-    return jnp.where(child >= 0, counts, 0)
+    child = tree.children[:, 0, :].astype(jnp.int32)        # (B, A)
+    oh = jax.nn.one_hot(child, tree.num_nodes, dtype=tree.stats.dtype)
+    counts = jnp.einsum("ban,bn->ba", oh, tree.stats[:, :, VISIT],
+                        preferred_element_type=tree.stats.dtype)
+    return counts.astype(jnp.int32)
 
 
 def root_q(tree: Tree) -> jax.Array:
     """Root mean value ``(B,)`` — the reference's ``root.value / root.visit``
     collected as ``qs`` during self-play (gomoku.py:141)."""
-    return tree.value_sum[:, 0] / jnp.maximum(tree.visit[:, 0], 1).astype(
-        tree.value_sum.dtype
-    )
+    return tree.stats[:, 0, VALUE] / jnp.maximum(tree.stats[:, 0, VISIT], 1.0)
