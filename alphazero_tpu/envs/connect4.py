@@ -42,10 +42,12 @@ class Connect4(Env):
         B, D = actions.shape
         heights = (root_board[:, 0] + root_board[:, 1]).sum(axis=1)  # (B, C)
         col_oh = jax.nn.one_hot(jnp.where(mask, actions, self.cols),
-                                self.cols, dtype=jnp.float32)        # (B,D,C)
+                                self.cols, dtype=jnp.bfloat16)       # (B,D,C)
         base = jnp.einsum("bdc,bc->bd", col_oh,
-                          heights.astype(jnp.float32))               # (B, D)
-        same_col = jnp.einsum("bdc,bec->bde", col_oh, col_oh)        # (B,D,D)
+                          heights.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)        # (B, D)
+        same_col = jnp.einsum("bdc,bec->bde", col_oh, col_oh,
+                              preferred_element_type=jnp.float32)    # (B,D,D)
         earlier = (jnp.arange(D)[None, :, None]
                    > jnp.arange(D)[None, None, :]).astype(jnp.float32)
         prior_cnt = jnp.einsum("bde,bde->bd", same_col, earlier)

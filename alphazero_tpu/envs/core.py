@@ -209,11 +209,12 @@ class Env:
         B, D = actions.shape
         RC = self.rows * self.cols
         cells = self.path_cells(root_board, actions, mask)
+        # bf16 one-hots are exact (0/1) at half the materialized bandwidth
         cell_oh = jax.nn.one_hot(
-            jnp.where(mask, cells, RC), RC, dtype=jnp.float32
+            jnp.where(mask, cells, RC), RC, dtype=jnp.bfloat16
         )                                                     # (B, D, RC)
         parity = (root_player[:, None] + jnp.arange(D)[None, :]) % 2  # (B, D)
-        player_oh = jax.nn.one_hot(parity, 2, dtype=jnp.float32)      # (B,D,2)
+        player_oh = jax.nn.one_hot(parity, 2, dtype=jnp.bfloat16)     # (B,D,2)
         delta = jnp.einsum("bdp,bdc->bpc", player_oh, cell_oh,
                            preferred_element_type=jnp.float32)
         board = root_board.astype(jnp.float32).reshape(B, 2, RC) + delta

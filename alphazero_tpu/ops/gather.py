@@ -37,10 +37,15 @@ def rows_scatter_add(arr: jax.Array, idx: jax.Array,
                      vals: jax.Array) -> jax.Array:
     """``arr (B, N, X) += scatter(idx (B, K), vals (B, K, X))`` as one
     einsum.  Exact when each game's ``idx`` row has no duplicates (a tree
-    path visits each node once); out-of-range indices are dropped."""
+    path visits each node once); out-of-range indices are dropped.
+
+    The one-hot operand is bf16 (exactly 0/1 — halves the materialized
+    matrix) with accumulation in the array dtype.
+    """
     B, N = arr.shape[:2]
-    oh = jax.nn.one_hot(idx, N, dtype=arr.dtype)            # (B, K, N)
-    return arr + jnp.einsum("bkn,bkx->bnx", oh, vals,
+    oh_dtype = jnp.bfloat16 if arr.dtype == jnp.float32 else arr.dtype
+    oh = jax.nn.one_hot(idx, N, dtype=oh_dtype)             # (B, K, N)
+    return arr + jnp.einsum("bkn,bkx->bnx", oh, vals.astype(oh_dtype),
                             preferred_element_type=arr.dtype)
 
 

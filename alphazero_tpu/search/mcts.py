@@ -74,7 +74,7 @@ def _descend(tree: Tree, cfg: MCTSConfig, vanilla: bool, dcap: int):
 
     def body(c):
         d, node, pv, stop, depth, parent, action, child, path, apath = c
-        prior_row = row_gather(tree.prior, node)              # (B, A)
+        prior_row = row_gather(tree.prior, node).astype(fdt)  # (B, A)
         child_row = row_gather(tree.children, node)           # (B, A)
         cstats = jax.nn.one_hot(child_row.astype(jnp.int32), N, dtype=fdt)
         cstats = jnp.einsum("ban,bne->bae", cstats, tree.stats,
@@ -104,7 +104,7 @@ def _descend(tree: Tree, cfg: MCTSConfig, vanilla: bool, dcap: int):
     depth0 = jnp.zeros((B,), jnp.int32)
     parent0 = jnp.full((B,), -1, jnp.int32)
     action0 = jnp.zeros((B,), jnp.int32)
-    child0 = jnp.zeros((B,), fdt)
+    child0 = jnp.zeros((B,), tree.children.dtype)
     path0 = jnp.full((B, dcap), N, jnp.int32)
     apath0 = jnp.zeros((B, dcap), jnp.int32)
     _, _, _, _, depth, parent, action, child, path, apath = \
@@ -114,11 +114,11 @@ def _descend(tree: Tree, cfg: MCTSConfig, vanilla: bool, dcap: int):
     return path, apath, depth, parent, action, child
 
 
-def _prep_priors(probs, valid, vanilla: bool, fdt):
-    """Expansion priors with -inf legality encoding."""
+def _prep_priors(probs, valid, vanilla: bool, edt):
+    """Expansion priors with finite -inf legality encoding (edge dtype)."""
     if vanilla:
-        return jnp.where(valid, 0.0, neg_inf(fdt)).astype(fdt)
-    return jnp.where(valid, probs, neg_inf(fdt)).astype(fdt)
+        return jnp.where(valid, 0.0, neg_inf(edt)).astype(edt)
+    return jnp.where(valid, probs, neg_inf(edt)).astype(edt)
 
 
 def _simulate_once(env, cfg: MCTSConfig, tree: Tree, slot, rng,
@@ -165,21 +165,23 @@ def _simulate_once(env, cfg: MCTSConfig, tree: Tree, slot, rng,
                                     rng).astype(fdt)
 
     # ---- expansion into this simulation's slot (scalar index writes)
+    edt = tree.prior.dtype
     do_expand = alloc & ~leaf_terminal
     valid_new = jax.vmap(env.valid_mask_board)(leaf_board, leaf_mc)
     prior_slot = jnp.where(do_expand[:, None],
-                           _prep_priors(probs, valid_new, vanilla, fdt),
-                           neg_inf(fdt))
+                           _prep_priors(probs, valid_new, vanilla, edt),
+                           neg_inf(edt)).astype(edt)
     tree = tree.replace(
         prior=jax.lax.dynamic_update_index_in_dim(
             tree.prior, prior_slot, slot, axis=1),
     )
     # parent's edge now points at the slot (full-array masked write — the
     # only per-game-row write left; see ops/gather.py rationale)
-    edge_mask = (jax.nn.one_hot(jnp.where(alloc, parent, N), N, dtype=fdt)
+    edge_mask = (jax.nn.one_hot(jnp.where(alloc, parent, N), N, dtype=edt)
                  [:, :, None]
-                 * jax.nn.one_hot(action, A, dtype=fdt)[:, None, :])
-    children = jnp.where(edge_mask > 0, jnp.asarray(slot, fdt), tree.children)
+                 * jax.nn.one_hot(action, A, dtype=edt)[:, None, :])
+    children = jnp.where(edge_mask > 0,
+                         jnp.asarray(slot).astype(edt), tree.children)
     tree = tree.replace(children=children)
 
     # ---- backup: one einsum over the path (ai/node.py:62-74 semantics)
@@ -244,9 +246,10 @@ def run_mcts(env, eval_fn: Optional[EvalFn], boards, players, move_counts,
         v0 = rollout_values(env, tree.root_board, tree.root_player,
                             tree.root_move_count, root_rng).astype(fdt)
     live = ~dones
+    edt = tree.prior.dtype
     root_prior = jnp.where(live[:, None],
-                           _prep_priors(probs, root_valid, vanilla, fdt),
-                           neg_inf(fdt))
+                           _prep_priors(probs, root_valid, vanilla, edt),
+                           neg_inf(edt)).astype(edt)
     root_stats = jnp.stack(
         [jnp.ones((B,), fdt),
          jnp.where(live, v0, 0.0),

@@ -69,6 +69,18 @@ class Tree:
         return self.stats.shape[0]
 
 
+def edge_dtype_for(num_nodes: int, value_dtype) -> jnp.dtype:
+    """Storage dtype for prior/children ("edge") arrays.
+
+    Descent re-reads these every level, so bandwidth matters: bfloat16
+    halves it and represents node indices EXACTLY while N ≤ 257 (integers
+    ≤ 256 are exact in bf16).  Larger trees and f64-parity runs stay at
+    the value dtype."""
+    if jnp.dtype(value_dtype) == jnp.dtype(jnp.float32) and num_nodes <= 257:
+        return jnp.dtype(jnp.bfloat16)
+    return jnp.dtype(value_dtype)
+
+
 def init_tree(env, boards, players, move_counts, num_simulations,
               value_dtype=jnp.float32) -> Tree:
     """Fresh trees rooted at the given batched positions.
@@ -80,10 +92,11 @@ def init_tree(env, boards, players, move_counts, num_simulations,
     B = boards.shape[0]
     N = num_simulations + 1
     A = env.action_dim
+    edt = edge_dtype_for(N, value_dtype)
     return Tree(
         stats=jnp.zeros((B, N, 3), value_dtype),
-        prior=jnp.full((B, N, A), neg_inf(value_dtype), value_dtype),
-        children=jnp.full((B, N, A), -1.0, value_dtype),
+        prior=jnp.full((B, N, A), neg_inf(edt), edt),
+        children=jnp.full((B, N, A), -1.0, edt),
         root_board=boards.astype(jnp.int8),
         root_player=players.astype(jnp.int32),
         root_move_count=move_counts.astype(jnp.int32),
