@@ -1,0 +1,142 @@
+"""Non-interactive CLI — the reference's four interactive menu modes
+(main.py:156-233: train / test / play / train-only) as subcommands.
+
+Usage:
+  python -m alphazero_tpu train --preset connect4 --iterations 5 --workdir runs/c4
+  python -m alphazero_tpu eval  --preset connect4 --workdir runs/c4 --games 32
+  python -m alphazero_tpu play  --preset tictactoe --workdir runs/ttt --human-turn 0
+  python -m alphazero_tpu bench --preset connect4
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def _build(preset_name: str):
+    import jax
+
+    from alphazero_tpu.config import preset
+    from alphazero_tpu.envs import make_env
+    from alphazero_tpu.models import build_model, init_params
+
+    cfg = preset(preset_name)
+    env = make_env(cfg.env)
+    model = build_model(cfg.model, env)
+    return cfg, env, model
+
+
+def cmd_train(args):
+    from alphazero_tpu.config import preset
+    from alphazero_tpu.training.loop import Trainer
+    from alphazero_tpu.utils.metrics import MetricsLogger
+
+    cfg = preset(args.preset)
+    if args.games_per_iter:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           games_per_iter=args.games_per_iter))
+    logger = MetricsLogger(path=f"{args.workdir}/metrics.jsonl"
+                           if args.workdir else None)
+    tr = Trainer(cfg, workdir=args.workdir, logger=logger)
+    if args.resume and tr.restore_checkpoint():
+        print(f"resumed at version {tr.version}", file=sys.stderr)
+    tr.run(args.iterations)
+
+
+def cmd_eval(args):
+    import jax
+
+    from alphazero_tpu.config import preset
+    from alphazero_tpu.eval.arena import Agent, compare
+    from alphazero_tpu.models import make_eval_fn
+    from alphazero_tpu.training.loop import Trainer
+
+    cfg = preset(args.preset)
+    tr = Trainer(cfg, workdir=args.workdir)
+    if args.workdir and tr.restore_checkpoint():
+        print(f"loaded version {tr.version}", file=sys.stderr)
+    model_agent = Agent(make_eval_fn(tr.model, tr.params_best), cfg.mcts)
+    if args.vs == "vanilla":
+        sims = args.vanilla_sims or cfg.mcts.num_simulations
+        other = Agent(None, dataclasses.replace(cfg.mcts,
+                                                num_simulations=sims))
+    else:  # self (best vs contender)
+        other = Agent(make_eval_fn(tr.model, tr.params_new), cfg.mcts)
+    rate, score = compare(tr.env, other, model_agent, args.games,
+                          jax.random.PRNGKey(args.seed), sampling=True)
+    print(json.dumps({"model_win_rate": rate,
+                      "score": score.tolist(), "games": args.games}))
+
+
+def cmd_play(args):
+    import jax
+
+    from alphazero_tpu.config import preset
+    from alphazero_tpu.eval.play import play_against_agent
+    from alphazero_tpu.models import make_eval_fn
+    from alphazero_tpu.training.loop import Trainer
+
+    cfg = preset(args.preset)
+    eval_fn = None
+    env = None
+    if args.vanilla:
+        from alphazero_tpu.envs import make_env
+        env = make_env(cfg.env)
+    else:
+        tr = Trainer(cfg, workdir=args.workdir)
+        if args.workdir:
+            tr.restore_checkpoint()
+        env = tr.env
+        eval_fn = make_eval_fn(tr.model, tr.params_best)
+    play_against_agent(env, eval_fn, cfg.mcts, args.human_turn)
+
+
+def cmd_bench(args):
+    import bench
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="alphazero_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="self-play training loop")
+    t.add_argument("--preset", default="connect4")
+    t.add_argument("--iterations", type=int, default=None)
+    t.add_argument("--games-per-iter", type=int, default=None)
+    t.add_argument("--workdir", default=None)
+    t.add_argument("--resume", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval", help="arena comparison")
+    e.add_argument("--preset", default="connect4")
+    e.add_argument("--workdir", default=None)
+    e.add_argument("--games", type=int, default=32)
+    e.add_argument("--vs", choices=["vanilla", "self"], default="vanilla")
+    e.add_argument("--vanilla-sims", type=int, default=None)
+    e.add_argument("--seed", type=int, default=0)
+    e.set_defaults(fn=cmd_eval)
+
+    g = sub.add_parser("play", help="human vs agent")
+    g.add_argument("--preset", default="tictactoe")
+    g.add_argument("--workdir", default=None)
+    g.add_argument("--human-turn", type=int, default=0, choices=[0, 1])
+    g.add_argument("--vanilla", action="store_true",
+                   help="play the model-free rollout agent")
+    g.set_defaults(fn=cmd_play)
+
+    b = sub.add_parser("bench", help="headline throughput benchmark")
+    b.add_argument("--preset", default="connect4")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
