@@ -39,13 +39,13 @@ def rows_scatter_add(arr: jax.Array, idx: jax.Array,
     einsum.  Exact when each game's ``idx`` row has no duplicates (a tree
     path visits each node once); out-of-range indices are dropped.
 
-    The one-hot operand is bf16 (exactly 0/1 — halves the materialized
-    matrix) with accumulation in the array dtype.
+    Kept in the array dtype end-to-end so backup accumulation is exact
+    (bf16 value rounding here measurably changes Q and breaks cross-engine
+    equality for no speed gain).
     """
     B, N = arr.shape[:2]
-    oh_dtype = jnp.bfloat16 if arr.dtype == jnp.float32 else arr.dtype
-    oh = jax.nn.one_hot(idx, N, dtype=oh_dtype)             # (B, K, N)
-    return arr + jnp.einsum("bkn,bkx->bnx", oh, vals.astype(oh_dtype),
+    oh = jax.nn.one_hot(idx, N, dtype=arr.dtype)            # (B, K, N)
+    return arr + jnp.einsum("bkn,bkx->bnx", oh, vals.astype(arr.dtype),
                             preferred_element_type=arr.dtype)
 
 

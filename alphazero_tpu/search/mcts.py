@@ -204,7 +204,7 @@ def _simulate_once(env, cfg: MCTSConfig, tree: Tree, slot, rng,
 def run_mcts(env, eval_fn: Optional[EvalFn], boards, players, move_counts,
              dones, rng, cfg: MCTSConfig,
              use_dirichlet: Optional[jax.Array] = None,
-             value_dtype=jnp.float32) -> SearchResult:
+             value_dtype=jnp.float32, backend: str = "auto") -> SearchResult:
     """Run ``cfg.num_simulations`` batched simulations from the given roots.
 
     Equivalent of the reference ``MCTS.mcts`` driver loop (ai/mcts.py:16-60)
@@ -212,8 +212,19 @@ def run_mcts(env, eval_fn: Optional[EvalFn], boards, players, move_counts,
     the root every move, gomoku.py:134).  Simulation 0 (root evaluation +
     expansion with optional Dirichlet noise) is hoisted out of the loop —
     a freshly-built root is always unexpanded on the first simulation.
+
+    ``backend='auto'`` uses the Pallas TPU fast path (search/pallas_mcts.py,
+    identical semantics, VMEM-resident tree) when it applies; 'xla' forces
+    the portable engine; 'pallas' forces the kernel path.
     """
     B = boards.shape[0]
+    if backend != "xla" and value_dtype == jnp.float32:
+        from alphazero_tpu.search import pallas_mcts
+        if backend == "pallas" or pallas_mcts.supports(
+                env, B, cfg, eval_fn is None):
+            return pallas_mcts.run_mcts_pallas(
+                env, eval_fn, boards, players, move_counts, dones, rng,
+                cfg, use_dirichlet)
     A = env.action_dim
     vanilla = eval_fn is None
     if use_dirichlet is None:

@@ -72,12 +72,9 @@ class Tree:
 def edge_dtype_for(num_nodes: int, value_dtype) -> jnp.dtype:
     """Storage dtype for prior/children ("edge") arrays.
 
-    Descent re-reads these every level, so bandwidth matters: bfloat16
-    halves it and represents node indices EXACTLY while N ≤ 257 (integers
-    ≤ 256 are exact in bf16).  Larger trees and f64-parity runs stay at
-    the value dtype."""
-    if jnp.dtype(value_dtype) == jnp.dtype(jnp.float32) and num_nodes <= 257:
-        return jnp.dtype(jnp.bfloat16)
+    Measured: bf16 here (exact for node indices ≤ 256) bought no speedup —
+    per-kernel overhead dominates, not bandwidth — and bf16-rounded priors
+    break exact equality with the Pallas engine.  Stay at the value dtype."""
     return jnp.dtype(value_dtype)
 
 
