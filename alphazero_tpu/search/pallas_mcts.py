@@ -3,26 +3,31 @@
 Motivation (measured): the XLA formulation spends ~220µs/simulation on
 ~40 small kernels (descent gathers, board reconstruction, terminal checks,
 expansion writes, backup) — mostly fixed per-kernel overhead.  This module
-consolidates everything except the network forward into TWO Pallas kernels
-per simulation, with the whole tree VMEM-resident inside each call:
+consolidates ALL of it into ONE Pallas kernel per simulation, software-
+pipelined with the network forward:
 
-  descend_kernel: UCB descent (while_loop over tree levels), leaf board
-    reconstruction by replaying the recorded path (sequential gravity for
-    connect4 — trivial inside VMEM), terminal detection (win-line matmul),
-    legal-move mask, and the canonical observation — all in one launch.
-  update_kernel: expansion writes into this simulation's slot, the parent
-    edge pointer, and the path backup loop — aliased in-place on the tree.
+  sim_kernel(i): apply simulation i-1's expansion + backup (using the NN
+    probs/value computed between kernels), then run simulation i's UCB
+    descent, leaf-board replay (sequential gravity for connect4 — trivial
+    inside VMEM), terminal detection (win-line matmul), legal mask, and
+    canonical observation.  The tree stays aliased in place; a final
+    update-only call flushes the last simulation.
 
 Layout: "games in lanes" — every per-game vector is ``(X, B)`` with the
 game batch B in the TPU lane dimension (multiples of 128), so all search
 logic vectorizes uniformly across games.  Tree arrays are ``stats (3,N,B)``
-[visit, value, expanded], ``prior (A,N,B)``, ``children (A,N,B)``.
+[visit, value_sum, expanded], ``prior (A,N,B)``, ``children (A,N,B)``.
+
+Mosaic constraints honored here: no bool vectors in while-loop carries
+(int32 flags), no scatter/gather primitives (one-hot compares + lane
+reductions; per-action loops are unrolled over the small A), dynamic ref
+indexing only via ``pl.ds`` on sublane dimensions.
 
 Scope: network-guided search (vanilla rollouts stay on the XLA path) for
 games whose ``(A, N, B)`` arrays fit VMEM (connect4/tictactoe at benchmark
 sizes; large-board gomoku uses the XLA path).  Semantics are IDENTICAL to
-the XLA engine — same formulas, same exact one-hot arithmetic — verified
-by equality tests in tests/test_pallas_mcts.py.
+the XLA engine — verified by exact-equality tests in
+tests/test_pallas_mcts.py.
 """
 
 from __future__ import annotations
@@ -38,7 +43,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from alphazero_tpu.config import MCTSConfig
 from alphazero_tpu.envs.core import _make_line_matrix
-from alphazero_tpu.search.tree import neg_inf
 
 NEG = -1e30
 
@@ -55,10 +59,8 @@ def supports(env, batch: int, cfg: MCTSConfig, vanilla: bool) -> bool:
     N = cfg.num_simulations + 1
     if 3 * env.action_dim * N * batch * 4 > 9_000_000:
         return False
-    if env.name.startswith("gomoku"):
-        neighbor = True  # (RC, RC) dilation matrix must also fit
-        if env.rows * env.cols > 128:
-            return False
+    if env.name.startswith("gomoku") and env.rows * env.cols > 128:
+        return False
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except RuntimeError:
@@ -84,8 +86,8 @@ def _game_tables(env):
         for c in range(env.cols):
             for r in range(env.rows):
                 colmat[c, r * env.cols + c] = 1.0
-        tables["colmat"] = colmat
-    if env.name.startswith("gomoku"):
+        tables["aux"] = colmat
+    elif env.name.startswith("gomoku"):
         D = np.zeros((RC, RC), np.float32)
         for r in range(env.rows):
             for c in range(env.cols):
@@ -94,48 +96,82 @@ def _game_tables(env):
                         rr, cc = r + dr, c + dc
                         if 0 <= rr < env.rows and 0 <= cc < env.cols:
                             D[r * env.cols + c, rr * env.cols + cc] = 1.0
-        tables["neigh"] = D
+        tables["aux"] = D
+    else:
+        tables["aux"] = np.zeros((1, RC), np.float32)
     return tables
 
 
-# --------------------------------------------------------------------------
-# descend kernel
-# --------------------------------------------------------------------------
+def _apply_update(env, N, A, B, dcap, stats, prior_ref, children_ref,
+                  path_ref, meta, valid, probs, value, slot, gate):
+    """Expansion + backup of one completed simulation.  Mutates
+    prior/children refs in place; returns the new (visit, val, expd).
 
-def _descend_kernel(env, cfg: MCTSConfig, dcap: int,
-                    # refs:
-                    stats_ref, prior_ref, children_ref, board_ref,
-                    player_ref, mc_ref, W_ref, aux_ref,
-                    path_ref, apath_ref, meta_ref, obs_ref, valid_ref,
-                    flags_ref):
-    """See module docstring.  Outputs:
-      path (dcap, B) int32, apath (dcap, B) int32,
-      meta (8, B) f32: [depth, parent, action, alloc, leaf, terminal, tval,
-                        leaf_player],
-      obs (F*RC, B) f32 canonical observation of the leaf,
-      valid (A, B) f32 legal-move mask at the leaf,
-      flags unused padding.
+    ``gate`` (scalar bool) turns the whole update into a no-op — used on
+    the first pipelined call, where there is no previous simulation.
+    Mask-gating is used instead of lax.cond so slot-0 writes can never
+    clobber the root when the gate is off.
     """
-    A = env.action_dim
-    RC = env.rows * env.cols
-    R, C = env.rows, env.cols
-    stats = stats_ref[:]          # (3, N, B)
-    prior = prior_ref[:]          # (A, N, B)
-    children = children_ref[:]    # (A, N, B)
-    N = stats.shape[1]
-    B = stats.shape[2]
-    rootp = player_ref[:]         # (1, B) int32
-    rootmc = mc_ref[:]            # (1, B) int32
+    depth = meta[0:1].astype(jnp.int32)
+    parent = meta[1:2].astype(jnp.int32)
+    action = meta[2:3].astype(jnp.int32)
+    alloc = meta[3:4]
+    leaf_meta = meta[4:5].astype(jnp.int32)
+    terminal = meta[5:6]
+    tval = meta[6:7]
+    leaf = jnp.where(alloc > 0, slot, leaf_meta)
+    do_expand = (alloc > 0) & (terminal == 0)
+    gatef = jnp.where(gate, 1.0, 0.0)
 
-    # ---------------- descent
+    # expansion: prior row into this sim's slot + parent edge pointer
+    prior_slot = jnp.where(do_expand & (valid > 0), probs, NEG)
+    old_row = prior_ref[:, pl.ds(slot, 1), :]
+    prior_ref[:, pl.ds(slot, 1), :] = jnp.where(
+        gate, prior_slot[:, None, :], old_row)
+    ohp = (_iota(N, B) == jnp.where(alloc > 0, parent, N)).astype(jnp.float32)
+    oha = (_iota(A, B) == action).astype(jnp.float32)
+    edge = ohp[None] * oha[:, None, :] * gatef                # (A, N, B)
+    children_ref[:] = jnp.where(edge > 0, slot.astype(jnp.float32),
+                                children_ref[:])
+
+    # backup along the path (+ leaf appended at level `depth`)
+    leaf_value = jnp.where(terminal > 0, tval, -value)
+    dmax = jnp.where(gate, jnp.max(depth), -1)
+
+    def bk_cond(carry):
+        return carry[0] <= dmax
+
+    def bk(carry):
+        d, visit, val, expd = carry
+        nd = path_ref[pl.ds(d, 1), :]                         # (1, B)
+        nd = jnp.where(d == depth, leaf, nd)
+        active = (d <= depth).astype(jnp.float32) * gatef
+        sign = jnp.where((depth - d) % 2 == 0, 1.0, -1.0)
+        oh = (_iota(N, B) == nd).astype(jnp.float32) * active
+        visit = visit + oh
+        val = val + oh * (sign * leaf_value)
+        expd = expd + oh * jnp.where((d == depth) & do_expand, 1.0, 0.0)
+        return d + 1, visit, val, expd
+
+    _, visit, val, expd = jax.lax.while_loop(
+        bk_cond, bk, (0, stats[0], stats[1], stats[2]))
+    return visit, val, expd
+
+
+def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
+             path_ref, apath_ref):
+    """UCB walk root→frontier; records interior nodes/actions into
+    path/apath refs.  Returns (depth, parent, action, chsel) registers."""
     node0 = jnp.zeros((1, B), jnp.int32)
-    pv0 = stats[0, 0:1, :]
-    # int32 stop flags: Mosaic cannot legalize bool-vector while carries
-    stop0 = (stats[2, 0:1, :] == 0).astype(jnp.int32)
+    pv0 = visit[0:1, :]
+    stop0 = (expd[0:1, :] == 0).astype(jnp.int32)
     depth0 = jnp.zeros((1, B), jnp.int32)
     parent0 = jnp.full((1, B), -1, jnp.int32)
     action0 = jnp.zeros((1, B), jnp.int32)
     chsel0 = jnp.zeros((1, B), jnp.float32)
+
+    path_ref[:] = jnp.full((dcap, B), N, jnp.int32)
+    apath_ref[:] = jnp.zeros((dcap, B), jnp.int32)
 
     def cond(c):
         d, node, pv, stop, depth, parent, action, chsel = c
@@ -146,11 +182,18 @@ def _descend_kernel(env, cfg: MCTSConfig, dcap: int,
         oh = (_iota(N, B) == node).astype(jnp.float32)        # (N, B)
         prow = jnp.sum(prior * oh[None], axis=1)              # (A, B)
         crow = jnp.sum(children * oh[None], axis=1)           # (A, B)
-        oh2 = (_iota(N, B)[None] == crow[:, None, :].astype(jnp.int32)
-               ).astype(jnp.float32)                          # (A, N, B)
-        cvisit = jnp.sum(stats[0][None] * oh2, axis=1)        # (A, B)
-        cvalue = jnp.sum(stats[1][None] * oh2, axis=1)
-        cexp = jnp.sum(stats[2][None] * oh2, axis=1)
+        # child stats: unrolled over the small action dim (keeps VMEM
+        # pressure at (N, B) instead of (A, N, B))
+        cv, cl, ce = [], [], []
+        for a in range(A):
+            oha = (_iota(N, B) == crow[a:a + 1, :].astype(jnp.int32)
+                   ).astype(jnp.float32)
+            cv.append(jnp.sum(visit * oha, axis=0, keepdims=True))
+            cl.append(jnp.sum(val * oha, axis=0, keepdims=True))
+            ce.append(jnp.sum(expd * oha, axis=0, keepdims=True))
+        cvisit = jnp.concatenate(cv, axis=0)                  # (A, B)
+        cvalue = jnp.concatenate(cl, axis=0)
+        cexp = jnp.concatenate(ce, axis=0)
         q = jnp.where(cvisit > 0, cvalue / jnp.maximum(cvisit, 1.0), 0.0)
         explore = prow * (jnp.sqrt(pv) / (cvisit + 1.0))
         if cfg.formula == "alphazero":
@@ -176,17 +219,55 @@ def _descend_kernel(env, cfg: MCTSConfig, dcap: int,
         return (d + 1, node, pv, jnp.maximum(stop, now_stop), depth,
                 parent, action, chsel)
 
-    # init the full path to the N-fill so untouched levels are inert
-    path_ref[:] = jnp.full((dcap, B), N, jnp.int32)
-    apath_ref[:] = jnp.zeros((dcap, B), jnp.int32)
     (_, _, _, _, depth, parent, action, chsel) = jax.lax.while_loop(
         cond, body,
         (0, node0, pv0, stop0, depth0, parent0, action0, chsel0))
+    return depth, parent, action, chsel
+
+
+def _sim_kernel(env, cfg: MCTSConfig, dcap: int,
+                # inputs (pathin aliases the path output)
+                stats_ref, prior_ref, children_ref, board_ref, player_ref,
+                mc_ref, pathin_ref, W_ref, aux_ref, pmeta_ref, pvalid_ref,
+                pprobs_ref, pvalue_ref, slot_ref,
+                # outputs (stats/prior/children/path aliased in place)
+                stats_out, prior_out, children_out, path_ref, apath_ref,
+                meta_ref, obs_ref, valid_ref):
+    """Pipelined step: flush sim i-1 (expansion+backup), then descend sim i.
+
+    ``slot_ref[0,0]`` is sim i-1's slot; < 1 means nothing to flush (first
+    loop iteration — the root was expanded host-side).  ``path_ref`` is an
+    aliased in/out: it holds the PREVIOUS path on entry (consumed by the
+    flush) and the new path on exit.
+    """
+    A = env.action_dim
+    RC = env.rows * env.cols
+    R, C = env.rows, env.cols
+    stats = stats_ref[:]
+    N, B = stats.shape[1], stats.shape[2]
+    rootp = player_ref[:]
+    rootmc = mc_ref[:]
+    prev_slot = slot_ref[0, 0]
+
+    # ---- flush previous simulation (gated off on the first call).
+    # path_ref aliases pathin_ref, so it still holds the PREVIOUS path here.
+    visit, val, expd = _apply_update(
+        env, N, A, B, dcap, stats, prior_out, children_out, path_ref,
+        pmeta_ref[:], pvalid_ref[:], pprobs_ref[:], pvalue_ref[:],
+        prev_slot, prev_slot > 0)
+    stats_out[0, :, :] = visit
+    stats_out[1, :, :] = val
+    stats_out[2, :, :] = expd
+
+    # ---- descend current simulation (reads the just-updated tree)
+    depth, parent, action, chsel = _descend(
+        env, cfg, N, A, B, dcap, visit, val, expd, prior_out[:],
+        children_out[:], path_ref, apath_ref)
 
     root_case = (parent < 0).astype(jnp.float32)
     alloc = ((parent >= 0) & (chsel < 0)).astype(jnp.float32)
 
-    # ---------------- leaf board reconstruction (replay the path)
+    # ---- leaf board reconstruction (replay the path)
     p0 = board_ref[0, :, :].astype(jnp.float32)               # (RC, B)
     p1 = board_ref[1, :, :].astype(jnp.float32)
     if env.name == "connect4":
@@ -195,9 +276,13 @@ def _descend_kernel(env, cfg: MCTSConfig, dcap: int,
                            preferred_element_type=jnp.float32)  # (C, B)
     else:
         heights0 = jnp.zeros((1, B), jnp.float32)
+    dmax = jnp.max(depth)
 
-    def recon(d, carry):
-        p0, p1, heights = carry
+    def recon_cond(carry):
+        return carry[0] < dmax
+
+    def recon(carry):
+        d, p0, p1, heights = carry
         a = apath_ref[pl.ds(d, 1), :]                         # (1, B)
         active = (d < depth).astype(jnp.float32)              # (1, B)
         if env.name == "connect4":
@@ -212,10 +297,10 @@ def _descend_kernel(env, cfg: MCTSConfig, dcap: int,
         is0 = (mover == 0).astype(jnp.float32)
         p0 = p0 + cell_oh * is0
         p1 = p1 + cell_oh * (1.0 - is0)
-        return p0, p1, heights
+        return d + 1, p0, p1, heights
 
-    p0, p1, heights = jax.lax.fori_loop(0, dcap, recon,
-                                        (p0, p1, heights0))
+    _, p0, p1, heights = jax.lax.while_loop(
+        recon_cond, recon, (0, p0, p1, heights0))
 
     leaf_player = (rootp + depth) % 2                         # (1, B)
     leaf_mc = rootmc + depth
@@ -229,15 +314,10 @@ def _descend_kernel(env, cfg: MCTSConfig, dcap: int,
     won = jnp.max(linesum, axis=0, keepdims=True) >= env.win_len
     terminal = ((won | (leaf_mc >= env.max_moves))
                 & (root_case == 0)) | (root_case > 0)
-    # root_case only happens for finished games (root unexpanded) → terminal
     tval = jnp.where(won, 1.0, 0.0)
+    leaf = jnp.where(root_case > 0, 0, chsel.astype(jnp.int32))
 
-    leaf = jnp.where(root_case > 0, 0,
-                     jnp.where(alloc > 0,
-                               jnp.full((1, B), 0, jnp.int32)  # slot filled by caller
-                               , chsel.astype(jnp.int32)))
-
-    # ---------------- legal moves at the leaf
+    # ---- legal moves at the leaf
     occ = p0 + p1                                             # (RC, B)
     if env.name == "connect4":
         valid = (heights < R).astype(jnp.float32)             # (C, B)
@@ -247,12 +327,12 @@ def _descend_kernel(env, cfg: MCTSConfig, dcap: int,
         empty = (occ == 0).astype(jnp.float32)
         center = (_iota(RC, B) == (R // 2) * C + C // 2).astype(jnp.float32)
         any_st = jnp.max(occ, axis=0, keepdims=True)
-        valid = jnp.where(any_st > 0, (near > 0).astype(jnp.float32) * empty,
-                          center)
+        valid = jnp.where(any_st > 0,
+                          (near > 0).astype(jnp.float32) * empty, center)
     else:
         valid = (occ == 0).astype(jnp.float32)                # (RC=A, B)
 
-    # ---------------- canonical observation
+    # ---- canonical observation
     p_is0 = (leaf_player == 0).astype(jnp.float32)
     mine = p0 * p_is0 + p1 * (1 - p_is0)
     theirs = p1 * p_is0 + p0 * (1 - p_is0)
@@ -273,68 +353,20 @@ def _descend_kernel(env, cfg: MCTSConfig, dcap: int,
         tval,
         leaf_player.astype(jnp.float32),
     ], axis=0)
-    flags_ref[:] = jnp.zeros_like(flags_ref)
 
 
-# --------------------------------------------------------------------------
-# update kernel: expansion + backup (in-place on the tree)
-# --------------------------------------------------------------------------
-
-def _update_kernel(env, cfg: MCTSConfig, dcap: int,
-                   stats_ref, prior_ref, children_ref,
-                   path_ref, meta_ref, valid_ref, probs_ref, value_ref,
-                   slot_ref,
-                   stats_out, prior_out, children_out):
+def _flush_kernel(env, cfg: MCTSConfig, dcap: int,
+                  stats_ref, prior_ref, children_ref, path_ref, pmeta_ref,
+                  pvalid_ref, pprobs_ref, pvalue_ref, slot_ref,
+                  stats_out, prior_out, children_out):
+    """Update-only call: flush the LAST simulation after the loop."""
     A = env.action_dim
     stats = stats_ref[:]
     N, B = stats.shape[1], stats.shape[2]
-    meta = meta_ref[:]
-    depth = meta[0:1].astype(jnp.int32)
-    parent = meta[1:2].astype(jnp.int32)
-    action = meta[2:3].astype(jnp.int32)
-    alloc = meta[3:4]
-    terminal = meta[5:6]
-    tval = meta[6:7]
-    slot = slot_ref[0, 0]
-
-    # leaf resolved against the slot for allocations
-    leaf_meta = meta[4:5].astype(jnp.int32)
-    leaf = jnp.where((alloc > 0), slot, leaf_meta)
-
-    probs = probs_ref[:]                                      # (A, B)
-    value = value_ref[:]                                      # (1, B)
-    do_expand = (alloc > 0) & (terminal == 0)
-
-    # ---- expansion: prior row + expandedness live in this sim's slot
-    valid = valid_ref[:] > 0
-    prior_slot = jnp.where(do_expand & valid, probs, NEG)
-    prior_out[:, pl.ds(slot, 1), :] = prior_slot[:, None, :]
-
-    # ---- parent edge pointer (full masked rewrite in VMEM)
-    ohp = (_iota(N, B) == jnp.where(alloc > 0, parent, N)).astype(jnp.float32)
-    oha = (_iota(A, B) == action).astype(jnp.float32)
-    edge = ohp[None] * oha[:, None, :]                        # (A, N, B)
-    children_out[:] = jnp.where(edge > 0, slot.astype(jnp.float32),
-                                children_ref[:])
-
-    # ---- backup along the path (+ the leaf at level `depth`)
-    leaf_value = jnp.where(terminal > 0, tval, -value)
-
-    def bk(d, carry):
-        visit, val, expd = carry
-        nd = path_ref[pl.ds(d, 1), :]                         # (1, B)
-        nd = jnp.where(d == depth, leaf, nd)                  # append leaf
-        active = (d <= depth).astype(jnp.float32)
-        sign = jnp.where((depth - d) % 2 == 0, 1.0, -1.0)
-        oh = (_iota(N, B) == nd).astype(jnp.float32) * active
-        visit = visit + oh
-        val = val + oh * (sign * leaf_value)
-        # the freshly expanded leaf becomes selectable
-        expd = expd + oh * jnp.where((d == depth) & do_expand, 1.0, 0.0)
-        return visit, val, expd
-
-    visit, val, expd = jax.lax.fori_loop(
-        0, dcap, bk, (stats[0], stats[1], stats[2]))
+    visit, val, expd = _apply_update(
+        env, N, A, B, dcap, stats, prior_out, children_out, path_ref,
+        pmeta_ref[:], pvalid_ref[:], pprobs_ref[:], pvalue_ref[:],
+        slot_ref[0, 0], slot_ref[0, 0] > 0)
     stats_out[0, :, :] = visit
     stats_out[1, :, :] = val
     stats_out[2, :, :] = expd
@@ -346,7 +378,7 @@ def _update_kernel(env, cfg: MCTSConfig, dcap: int,
 
 def make_sim_step(env, cfg: MCTSConfig, batch: int, dcap: int,
                   interpret: bool = False):
-    """Build (descend_fn, update_fn) pallas calls for one simulation."""
+    """Build (sim_fn, flush_fn) pallas calls — see kernel docstrings."""
     A = env.action_dim
     RC = env.rows * env.cols
     N = cfg.num_simulations + 1
@@ -354,55 +386,56 @@ def make_sim_step(env, cfg: MCTSConfig, batch: int, dcap: int,
     F = env.feature_dim
     tables = _game_tables(env)
     W = jnp.asarray(tables["W"])
-    if env.name == "connect4":
-        aux = jnp.asarray(tables["colmat"])
-    elif env.name.startswith("gomoku"):
-        aux = jnp.asarray(tables["neigh"])
-    else:
-        aux = jnp.zeros((1, RC), jnp.float32)
+    aux = jnp.asarray(tables["aux"])
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)
 
-    descend = pl.pallas_call(
-        functools.partial(_descend_kernel, env, cfg, dcap),
+    sim = pl.pallas_call(
+        functools.partial(_sim_kernel, env, cfg, dcap),
         out_shape=(
-            jax.ShapeDtypeStruct((dcap, B), jnp.int32),    # path
-            jax.ShapeDtypeStruct((dcap, B), jnp.int32),    # apath
-            jax.ShapeDtypeStruct((8, B), jnp.float32),     # meta
+            jax.ShapeDtypeStruct((3, N, B), jnp.float32),    # stats
+            jax.ShapeDtypeStruct((A, N, B), jnp.float32),    # prior
+            jax.ShapeDtypeStruct((A, N, B), jnp.float32),    # children
+            jax.ShapeDtypeStruct((dcap, B), jnp.int32),      # path
+            jax.ShapeDtypeStruct((dcap, B), jnp.int32),      # apath
+            jax.ShapeDtypeStruct((8, B), jnp.float32),       # meta
             jax.ShapeDtypeStruct((F * RC, B), jnp.float32),  # obs
-            jax.ShapeDtypeStruct((A, B), jnp.float32),     # valid
-            jax.ShapeDtypeStruct((1, B), jnp.float32),     # flags pad
+            jax.ShapeDtypeStruct((A, B), jnp.float32),       # valid
         ),
-        in_specs=[vspec] * 8,
-        out_specs=(vspec,) * 6,
+        in_specs=[vspec] * 13 + [sspec],
+        out_specs=(vspec,) * 8,
+        # stats/prior/children and the previous path alias in place
+        input_output_aliases={0: 0, 1: 1, 2: 2, 6: 3},
         interpret=interpret,
     )
 
-    update = pl.pallas_call(
-        functools.partial(_update_kernel, env, cfg, dcap),
+    flush = pl.pallas_call(
+        functools.partial(_flush_kernel, env, cfg, dcap),
         out_shape=(
             jax.ShapeDtypeStruct((3, N, B), jnp.float32),
             jax.ShapeDtypeStruct((A, N, B), jnp.float32),
             jax.ShapeDtypeStruct((A, N, B), jnp.float32),
         ),
-        in_specs=[vspec] * 8 + [pl.BlockSpec((1, 1),
-                                             memory_space=pltpu.SMEM)],
+        in_specs=[vspec] * 8 + [sspec],
         out_specs=(vspec,) * 3,
         input_output_aliases={0: 0, 1: 1, 2: 2},
         interpret=interpret,
     )
 
-    def descend_fn(stats, prior, children, board, player, mc):
-        return descend(stats, prior, children, board,
-                       player, mc, W, aux)
+    def sim_fn(stats, prior, children, board, player, mc, path, pmeta,
+               pvalid, pprobs, pvalue, prev_slot):
+        slot_arr = jnp.asarray(prev_slot, jnp.int32).reshape(1, 1)
+        return sim(stats, prior, children, board, player, mc, path, W,
+                   aux, pmeta, pvalid, pprobs, pvalue, slot_arr)
 
-    def update_fn(stats, prior, children, path, meta, valid, probs, value,
-                  slot):
+    def flush_fn(stats, prior, children, path, meta, valid, probs, value,
+                 slot):
         slot_arr = jnp.asarray(slot, jnp.int32).reshape(1, 1)
-        return update(stats, prior, children, path, meta, valid, probs,
-                      value, slot_arr)
+        return flush(stats, prior, children, path, meta, valid, probs,
+                     value, slot_arr)
 
-    return descend_fn, update_fn
+    return sim_fn, flush_fn
 
 
 def run_mcts_pallas(env, eval_fn, boards, players, move_counts, dones, rng,
@@ -419,7 +452,7 @@ def run_mcts_pallas(env, eval_fn, boards, players, move_counts, dones, rng,
     if use_dirichlet is None:
         use_dirichlet = jnp.full((B,), cfg.use_dirichlet)
     dcap = int(min(env.max_moves + 1, cfg.num_simulations + 1))
-    descend_fn, update_fn = make_sim_step(env, cfg, B, dcap, interpret)
+    sim_fn, flush_fn = make_sim_step(env, cfg, B, dcap, interpret)
 
     # ---- root expansion (XLA; identical to the XLA engine)
     obs0 = jax.vmap(env.observation_from_board)(boards, players)
@@ -446,20 +479,32 @@ def run_mcts_pallas(env, eval_fn, boards, players, move_counts, dones, rng,
     player_t = players.astype(jnp.int32).reshape(1, B)
     mc_t = move_counts.astype(jnp.int32).reshape(1, B)
 
+    path0 = jnp.full((dcap, B), N, jnp.int32)
+    meta0 = jnp.zeros((8, B), jnp.float32)
+    valid0 = jnp.zeros((A, B), jnp.float32)
+    probsT0 = jnp.zeros((A, B), jnp.float32)
+    pval0 = jnp.zeros((1, B), jnp.float32)
+
     def body(i, carry):
-        stats, prior, children = carry
-        path, apath, meta, obs, valid, _ = descend_fn(
-            stats, prior, children, board_t, player_t, mc_t)
+        (stats, prior, children, path, pmeta, pvalid, pprobs, pvalue) = carry
+        stats, prior, children, path, apath, meta, obs, valid = sim_fn(
+            stats, prior, children, board_t, player_t, mc_t, path, pmeta,
+            pvalid, pprobs, pvalue, i - 1)
         probs, value = eval_fn(
             obs.T.reshape(B, env.feature_dim, env.rows, env.cols))
-        stats, prior, children = update_fn(
-            stats, prior, children, path, meta, valid,
-            probs.astype(jnp.float32).T, value.astype(jnp.float32)
-            .reshape(1, B), i)
-        return stats, prior, children
+        return (stats, prior, children, path, meta, valid,
+                probs.astype(jnp.float32).T,
+                value.astype(jnp.float32).reshape(1, B))
 
-    stats, prior, children = jax.lax.fori_loop(
-        1, cfg.num_simulations, body, (stats, prior, children))
+    (stats, prior, children, path, pmeta, pvalid, pprobs, pvalue) = \
+        jax.lax.fori_loop(
+            1, cfg.num_simulations, body,
+            (stats, prior, children, path0, meta0, valid0, probsT0, pval0))
+    # flush the last simulation
+    if cfg.num_simulations > 1:
+        stats, prior, children = flush_fn(
+            stats, prior, children, path, pmeta, pvalid, pprobs, pvalue,
+            cfg.num_simulations - 1)
 
     # ---- root visit counts / q (same math as the XLA engine)
     child0 = children[:, 0, :].T.astype(jnp.int32)            # (B, A)
