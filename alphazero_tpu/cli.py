@@ -43,8 +43,20 @@ def cmd_train(args):
     logger = MetricsLogger(path=f"{args.workdir}/metrics.jsonl"
                            if args.workdir else None)
     tr = Trainer(cfg, workdir=args.workdir, logger=logger)
-    if args.resume and tr.restore_checkpoint():
+    if (args.resume or args.train_only) and tr.restore_checkpoint():
         print(f"resumed at version {tr.version}", file=sys.stderr)
+    if args.train_only:
+        # reference mode 4 (main.py:212-231): SGD on the existing buffer
+        # only, no self-play collection
+        if int(tr.buffer.size) == 0:
+            print("train-only requires a checkpoint with a non-empty "
+                  "replay buffer", file=sys.stderr)
+            sys.exit(1)
+        for _ in range(args.iterations or 1):
+            tr.train_epoch()
+        tr.params_best = tr.params_new
+        tr.save_checkpoint()
+        return
     tr.run(args.iterations)
 
 
@@ -111,6 +123,9 @@ def main(argv=None):
     t.add_argument("--games-per-iter", type=int, default=None)
     t.add_argument("--workdir", default=None)
     t.add_argument("--resume", action="store_true")
+    t.add_argument("--train-only", action="store_true",
+                   help="SGD on the checkpointed buffer, no self-play "
+                        "(reference mode 4)")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval", help="arena comparison")

@@ -165,3 +165,34 @@ def test_bfloat16_compute_path():
         deterministic=True,
     )
     assert logits.dtype == jnp.float32 and value.dtype == jnp.float32
+
+
+def test_expand_vit_depth_preserves_function():
+    """Depth surgery (reference expand_transformer_layers, main.py:99-120):
+    copied blocks keep their weights; new blocks are fresh."""
+    from alphazero_tpu.models.surgery import expand_vit_depth
+
+    env = make_env("tictactoe")
+    cfg = ModelConfig(family="vit", embed_dim=32, patch_size=3, num_heads=4,
+                      depth=1, dropout=0.0, compute_dtype="float32")
+    model = build_model(cfg, env)
+    params = init_params(model, env, jax.random.PRNGKey(0))
+
+    cfg2, model2, params2 = expand_vit_depth(cfg, env, params, 3,
+                                             jax.random.PRNGKey(1))
+    assert cfg2.depth == 3
+    # block 0 copied exactly
+    a = jax.tree.leaves(params["block_0"])
+    b = jax.tree.leaves(params2["block_0"])
+    assert all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(a, b))
+    # embedding + heads copied
+    np.testing.assert_array_equal(np.asarray(params["cls_token"]),
+                                  np.asarray(params2["cls_token"]))
+    np.testing.assert_array_equal(
+        np.asarray(params["policy_head"]["kernel"]),
+        np.asarray(params2["policy_head"]["kernel"]))
+    # new blocks exist and run
+    x = jnp.ones((2, env.feature_dim, env.rows, env.cols))
+    logits, value = model2.apply({"params": params2}, x, deterministic=True)
+    assert logits.shape == (2, env.action_dim)
