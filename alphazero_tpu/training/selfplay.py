@@ -62,7 +62,6 @@ def selfplay_step(env, eval_fn, mcts_cfg: MCTSConfig, replay_cfg: ReplayConfig,
     """One lockstep move for all B games (= B env steps)."""
     B = sp.t.shape[0]
     L = sp.traj_obs.shape[1]
-    brange = jnp.arange(B)
     rng, mcts_rng, act_rng = jax.random.split(sp.rng, 3)
     s = sp.env_state
 
@@ -70,11 +69,17 @@ def selfplay_step(env, eval_fn, mcts_cfg: MCTSConfig, replay_cfg: ReplayConfig,
     res = run_mcts(env, eval_fn, s.board, s.current_player, s.move_count,
                    s.done, mcts_rng, mcts_cfg)
 
-    # --- record position BEFORE the move (train.py:37, gomoku.py:138-140)
     obs = jax.vmap(env.observation)(s).astype(jnp.int8)
-    traj_obs = sp.traj_obs.at[brange, sp.t].set(obs)
-    traj_policy = sp.traj_policy.at[brange, sp.t].set(res.policy)
-    traj_player = sp.traj_player.at[brange, sp.t].set(s.current_player)
+
+    # --- record position BEFORE the move (train.py:37, gomoku.py:138-140).
+    # Masked full-array writes: XLA lowers per-game row scatters serially
+    # on TPU (see ops/gather.py), a where-select streams at HBM speed.
+    at_t = jnp.arange(L)[None, :] == sp.t[:, None]            # (B, L)
+    traj_obs = jnp.where(at_t[:, :, None, None, None],
+                         obs[:, None], sp.traj_obs)
+    traj_policy = jnp.where(at_t[:, :, None], res.policy[:, None],
+                            sp.traj_policy)
+    traj_player = jnp.where(at_t, s.current_player[:, None], sp.traj_player)
 
     # --- temperature: visit-sample early moves, argmax later (gomoku.py:144)
     logits = jnp.where(res.visit_counts > 0,
@@ -111,7 +116,7 @@ def selfplay_step(env, eval_fn, mcts_cfg: MCTSConfig, replay_cfg: ReplayConfig,
         buffer = add_batch(buffer, so, sp_pol, flat_val, m.reshape(B * L))
 
     # --- auto-reset finished games
-    fresh = jax.vmap(lambda _: env.init())(brange)
+    fresh = jax.vmap(lambda _: env.init())(jnp.arange(B))
     env_state = jax.tree.map(
         lambda f, n: jnp.where(
             done_now.reshape((B,) + (1,) * (n.ndim - 1)), f, n

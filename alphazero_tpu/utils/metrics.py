@@ -7,6 +7,7 @@ machine-readable env-steps/s, sims/s, losses, win rates (SURVEY.md §5)."""
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from typing import IO, Optional
@@ -14,6 +15,8 @@ from typing import IO, Optional
 
 class MetricsLogger:
     def __init__(self, path: Optional[str] = None, stdout: bool = True):
+        if path:
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self._fh: Optional[IO] = open(path, "a") if path else None
         self._stdout = stdout
         self._t0 = time.time()
