@@ -3,11 +3,14 @@
 The reference ships only a ViT (ai/nn.py); BASELINE.json's benchmark configs
 call for conv/ResNet policy/value nets ("small conv net" for tictactoe,
 "deeper ResNet" for gomoku).  This is the classic AlphaZero tower: conv stem,
-N pre-activation residual blocks, small conv policy/value heads.
+N residual blocks, small conv policy/value heads.
 
-GroupNorm instead of BatchNorm keeps the network state-free (no mutable
-batch statistics to thread through jitted self-play).  Activations in
-``compute_dtype`` (bfloat16 on TPU), parameters float32, heads in float32.
+Normalization is per-cell channel LayerNorm (ConvNeXt-style) rather than
+BatchNorm/GroupNorm: statistics are local to each board cell, so the network
+stays state-free under jitted self-play AND the fused Pallas inference
+kernel (ops/pallas_resnet.py) can normalize row-wise without cross-row
+segment reductions.  Activations run in ``compute_dtype`` (bfloat16 on
+TPU), parameters float32, heads in float32.
 """
 
 from __future__ import annotations
@@ -26,12 +29,12 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         y = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype)(x)
-        y = nn.GroupNorm(num_groups=min(8, self.channels), dtype=self.dtype)(y)
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.LayerNorm(dtype=self.dtype, name="ln1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype)(y)
-        y = nn.GroupNorm(num_groups=min(8, self.channels), dtype=self.dtype)(y)
+                    dtype=self.dtype, name="conv2")(y)
+        y = nn.LayerNorm(dtype=self.dtype, name="ln2")(y)
         return nn.relu(x + y)
 
 
@@ -53,7 +56,7 @@ class ResNet(nn.Module):
         x = x.astype(self.dtype).transpose(0, 2, 3, 1)  # NCHW → NHWC
         x = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype, name="stem")(x)
-        x = nn.GroupNorm(num_groups=min(8, self.channels), dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="stem_ln")(x)
         x = nn.relu(x)
         for i in range(self.blocks):
             x = ResBlock(self.channels, self.dtype, name=f"block_{i}")(x)

@@ -144,13 +144,22 @@ def make_selfplay_runner(env, model, mcts_cfg: MCTSConfig,
                          replay_cfg: ReplayConfig, num_steps: int,
                          donate: bool = True) -> Callable:
     """Build a jitted runner advancing all games ``num_steps`` moves:
-    ``runner(params, sp, buffer) -> (sp, buffer)``."""
+    ``runner(params, sp, buffer) -> (sp, buffer)``.
+
+    Leaf evaluation uses the flax forward.  The fused Pallas tower
+    (ops/pallas_resnet.py) is numerically verified but currently disabled:
+    its Mosaic compile exceeds 10 minutes through this environment's
+    remote-compile service (tracked for a future round)."""
     syms = Symmetries(env)
+    fused_apply = None
 
     def run(params, sp: SelfPlayState, buffer: ReplayBuffer):
         def eval_fn(obs):
-            logits, value = model.apply({"params": params}, obs,
-                                        deterministic=True)
+            if fused_apply is not None:
+                logits, value = fused_apply(params, obs)
+            else:
+                logits, value = model.apply({"params": params}, obs,
+                                            deterministic=True)
             return jax.nn.softmax(logits, axis=-1), value
 
         def body(carry, _):

@@ -1,0 +1,32 @@
+"""Gomoku self-play smoke on TPU: gomoku9 (pallas path) + gomoku15 (XLA path)."""
+import dataclasses, time, jax, jax.numpy as jnp
+from alphazero_tpu.config import preset
+from alphazero_tpu.envs import make_env
+from alphazero_tpu.data import create
+from alphazero_tpu.models import build_model, init_params
+from alphazero_tpu.training.selfplay import init_selfplay, make_selfplay_runner
+
+for name, sims, B in (("gomoku9", 100, 256), ("gomoku15", 50, 128)):
+    cfg = preset("gomoku9" if name == "gomoku9" else "gomoku15")
+    cfg = dataclasses.replace(
+        cfg,
+        mcts=dataclasses.replace(cfg.mcts, num_simulations=sims),
+        model=dataclasses.replace(cfg.model, channels=32, blocks=2),
+        train=dataclasses.replace(cfg.train, selfplay_batch=B))
+    env = make_env(cfg.env)
+    model = build_model(cfg.model, env)
+    params = init_params(model, env, jax.random.PRNGKey(0))
+    runner = make_selfplay_runner(env, model, cfg.mcts, cfg.replay,
+                                  num_steps=2, donate=False)
+    sp = init_selfplay(env, B, jax.random.PRNGKey(1))
+    buf = create(env, 20000)
+    t0 = time.time()
+    sp, buf = runner(params, sp, buf)
+    jax.block_until_ready(sp.env_steps)
+    compile_t = time.time() - t0
+    t0 = time.time()
+    sp, buf = runner(params, sp, buf)
+    jax.block_until_ready(sp.env_steps)
+    dt = time.time() - t0
+    print(f"{name}: sims={sims} B={B} compile={compile_t:.0f}s "
+          f"steps/s={2*B/dt:.0f} buffer={int(buf.size)}", flush=True)
