@@ -14,8 +14,10 @@ Per-cell channel LayerNorm is a lane reduction per row (the reason the
 model uses it — see models/resnet.py).  The tiny policy/value heads stay
 in XLA on the kernel's output features.
 
-Used by ``make_eval_fn(..., fused=True)`` for MCTS leaf evaluation;
-training keeps the flax forward (this kernel is inference-only).
+Inference-only (training keeps the flax forward).  Currently NOT wired
+into the hot path: the Mosaic compile of this kernel exceeds 10 minutes
+through the environment's mandatory remote-compile service.  It is kept
+(with interpret-mode equivalence tests) as the next-round speed path.
 """
 
 from __future__ import annotations
