@@ -43,8 +43,21 @@ def cmd_train(args):
     logger = MetricsLogger(path=f"{args.workdir}/metrics.jsonl"
                            if args.workdir else None)
     tr = Trainer(cfg, workdir=args.workdir, logger=logger)
+    if args.profile_dir:
+        from alphazero_tpu.utils.profiling import trace
+        import contextlib
+        profile_cm = trace(args.profile_dir)
+    else:
+        import contextlib
+        profile_cm = contextlib.nullcontext()
     if (args.resume or args.train_only) and tr.restore_checkpoint():
         print(f"resumed at version {tr.version}", file=sys.stderr)
+    with profile_cm:
+        _run_train(tr, args)
+
+
+def _run_train(tr, args):
+    import sys
     if args.train_only:
         # reference mode 4 (main.py:212-231): SGD on the existing buffer
         # only, no self-play collection
@@ -126,6 +139,8 @@ def main(argv=None):
     t.add_argument("--train-only", action="store_true",
                    help="SGD on the checkpointed buffer, no self-play "
                         "(reference mode 4)")
+    t.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the run")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval", help="arena comparison")
