@@ -168,3 +168,21 @@ def test_dirichlet_noise_changes_root_priors_only_statistically():
     r4 = run_mcts(env, _jax_eval(Wp, wv), board, *args, jax.random.PRNGKey(7), off)
     assert not np.array_equal(np.asarray(r1.visit_counts), np.asarray(r2.visit_counts))
     np.testing.assert_array_equal(np.asarray(r3.visit_counts), np.asarray(r4.visit_counts))
+
+
+def test_gomoku15_search_runs():
+    """Full-size board (gomoku 15x15 config) searches under jit: shapes,
+    legality, and visit conservation."""
+    env = make_env("gomoku15")
+    Wp, wv = _stub_weights(env)
+    cfg = MCTSConfig(num_simulations=12, use_dirichlet=False)
+    B = 2
+    boards = jnp.zeros((B, 2, 15, 15), jnp.int8)
+    res = run_mcts(env, _jax_eval(Wp, wv), boards,
+                   jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
+                   jnp.zeros(B, bool), jax.random.PRNGKey(0), cfg)
+    counts = np.asarray(res.visit_counts)
+    assert counts.shape == (B, 225)
+    assert (counts.sum(-1) == cfg.num_simulations - 1).all()
+    # opening move restricted to the center (gomoku.py:104-105)
+    assert counts[:, 7 * 15 + 7].sum() == counts.sum()
