@@ -77,7 +77,7 @@ class TrainConfig:
     # with a flag to disable for reference-parity runs, SURVEY.md §2.4-6)
     gate_enabled: bool = True
     gate_threshold: float = 0.55   # main.py:50
-    gate_games: int = 64
+    gate_games: int = 128  # lane-aligned so the arena uses the Pallas search path
     # Data-collection doubling after 2 consecutive rejections (main.py:25-28)
     reject_double_after: int = 2
     outer_iterations: int = 1000   # main.py:23

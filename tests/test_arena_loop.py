@@ -86,3 +86,11 @@ def test_checkpoint_roundtrip(tmp_path):
     for x, y in zip(jax.tree.leaves(tr.params_best),
                     jax.tree.leaves(tr2.params_best)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_distributed_initialize_noop():
+    """Single-process runs skip jax.distributed (parallel/distributed.py)."""
+    from alphazero_tpu.parallel.distributed import initialize, process_info
+    assert initialize() is False
+    info = process_info()
+    assert info["process_count"] == 1 and info["global_devices"] >= 1
