@@ -165,6 +165,8 @@ def main(argv=None):
     b.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
+    from alphazero_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     args.fn(args)
 
 

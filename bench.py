@@ -17,6 +17,9 @@ import jax
 
 
 def main():
+    from alphazero_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from alphazero_tpu.config import preset
     from alphazero_tpu.data import create
     from alphazero_tpu.envs import make_env
