@@ -31,6 +31,13 @@ class MCTSConfig:
     # Moves before which actions are visit-sampled rather than argmax
     # (gomoku.py:144 uses 8; test.py:87 arena uses 20).
     temperature_moves: int = 8
+    # Leaf-batched simulation rounds: K virtual-loss descents share ONE
+    # network forward (K·B positions).  1 = exact sequential reference
+    # semantics; >1 trades slight selection noise for K× fewer sequential
+    # tree updates and MXU-efficient forwards (search/mcts.py
+    # _simulate_round).  Network mode only.
+    leaf_batch: int = 1
+    virtual_loss: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,7 +45,7 @@ class ModelConfig:
     """Policy/value network.  ``family='vit'`` mirrors ai/nn.py exactly;
     ``'resnet'`` is the conv tower from BASELINE.json's configs."""
 
-    family: str = "vit"  # 'vit' | 'resnet' | 'mlp'
+    family: str = "vit"  # 'vit' | 'resnet' | 'dense'
     # ViT (reference production config, main.py:134)
     embed_dim: int = 512
     patch_size: int = 5
@@ -48,6 +55,8 @@ class ModelConfig:
     # ResNet
     channels: int = 64
     blocks: int = 4
+    # DenseTower (MXU-native flagship for small boards, models/dense.py)
+    width: int = 512
     # Numerics: bfloat16 activations on TPU, float32 params.
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"

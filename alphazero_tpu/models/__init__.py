@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from alphazero_tpu.config import ModelConfig
+from alphazero_tpu.models.dense import DenseTower
 from alphazero_tpu.models.resnet import ResNet
 from alphazero_tpu.models.vit import ViT
 
@@ -27,6 +28,12 @@ def build_model(cfg: ModelConfig, env):
             rows=env.rows, cols=env.cols, action_dim=env.action_dim,
             channels_in=env.feature_dim, channels=cfg.channels,
             blocks=cfg.blocks, dtype=dtype,
+        )
+    if cfg.family == "dense":
+        return DenseTower(
+            rows=env.rows, cols=env.cols, action_dim=env.action_dim,
+            channels_in=env.feature_dim, win_len=env.win_len,
+            width=cfg.width, blocks=cfg.blocks, dtype=dtype,
         )
     raise ValueError(f"unknown model family {cfg.family!r}")
 
@@ -50,4 +57,5 @@ def make_eval_fn(model, params) -> Callable[[jax.Array], Tuple[jax.Array, jax.Ar
     return eval_fn
 
 
-__all__ = ["ViT", "ResNet", "build_model", "init_params", "make_eval_fn"]
+__all__ = ["ViT", "ResNet", "DenseTower", "build_model", "init_params",
+           "make_eval_fn"]

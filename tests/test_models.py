@@ -114,12 +114,13 @@ def test_vit_matches_reference_torch():
                                rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("family", ["vit", "resnet"])
+@pytest.mark.parametrize("family", ["vit", "resnet", "dense"])
 @pytest.mark.parametrize("game", ["tictactoe", "connect4", "gomoku"])
 def test_model_shapes_and_grads(family, game):
     env = make_env(game)
     cfg = ModelConfig(family=family, embed_dim=32, patch_size=3, depth=1,
-                      channels=16, blocks=2, compute_dtype="float32")
+                      channels=16, blocks=2, width=64,
+                      compute_dtype="float32")
     model = build_model(cfg, env)
     params = init_params(model, env, jax.random.PRNGKey(0))
     x = jnp.ones((5, env.feature_dim, env.rows, env.cols), jnp.float32)

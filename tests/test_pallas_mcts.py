@@ -50,3 +50,47 @@ def _jax_eval32(Wp, wv):
         logits = x @ jWp
         return jax.nn.softmax(logits, axis=-1), jnp.tanh(x @ jwv)
     return f
+
+
+def _jax_eval_quantized(Wp, wv):
+    """Stub whose outputs are exact binary fractions (multiples of 1/1024 /
+    1/8), so every stats accumulation both engines perform is EXACT in f32
+    regardless of summation order — cross-engine equality is then required,
+    not probabilistic."""
+    jWp = jnp.asarray(Wp, jnp.float32)
+    jwv = jnp.asarray(wv, jnp.float32)
+
+    def f(obs):
+        x = obs.reshape(obs.shape[0], -1)
+        probs = jax.nn.softmax(x @ jWp, axis=-1)
+        probs = jnp.round(probs * 1024.0) / 1024.0
+        v = jnp.round(jnp.tanh(x @ jwv) * 8.0) / 8.0
+        return probs, v
+    return f
+
+
+@pytest.mark.parametrize("name,k", [("tictactoe", 4), ("connect4", 4),
+                                    ("connect4", 8), ("gomoku", 4)])
+def test_pallas_rounds_match_xla_rounds(name, k):
+    """Leaf-batched rounds: Pallas round kernel ≡ XLA _simulate_round."""
+    env = make_env(name)
+    oracle = make_oracle(name)
+    Wp, wv = _stub_weights(env)
+    eval_fn = _jax_eval_quantized(Wp, wv)
+    cfg = MCTSConfig(num_simulations=42, leaf_batch=k, use_dirichlet=False)
+
+    positions = _random_positions(oracle, n_pos=8, max_depth=6, seed=5)
+    boards = jnp.asarray(np.stack([p[0] for p in positions]))
+    players = jnp.asarray(np.array([p[1] for p in positions], np.int32))
+    mcs = jnp.asarray(np.array([p[2] for p in positions], np.int32))
+    dones = jnp.zeros(len(positions), bool)
+    rng = jax.random.PRNGKey(0)
+
+    ref = run_mcts(env, eval_fn, boards, players, mcs, dones, rng, cfg,
+                   backend="xla")
+    got = run_mcts_pallas(env, eval_fn, boards, players, mcs, dones, rng,
+                          cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.visit_counts),
+                                  np.asarray(ref.visit_counts))
+    np.testing.assert_allclose(np.asarray(got.root_q),
+                               np.asarray(ref.root_q), atol=1e-5)
