@@ -132,7 +132,21 @@ def preset(name: str) -> Config:
             replay=ReplayConfig(capacity=50_000),
         ),
         # "connect4 self-play: MCTS 200 sims/move, batched 512 parallel games"
+        # Flagship model: MXU-native dense tower (models/dense.py), 1.79M
+        # params — validated to the conv ResNet's strength trajectory
+        # (runs/c4_dense: 0.84 vs vanilla-400 by iter 50; ResNet run: 0.86
+        # by iter 60) at ~3x the self-play throughput via the whole-move
+        # fused kernel (search/pallas_fused.py).
         "connect4": Config(
+            env="connect4",
+            mcts=MCTSConfig(num_simulations=200, dirichlet_alpha=0.3),
+            model=ModelConfig(family="dense", width=512, blocks=3),
+            train=TrainConfig(batch_size=512, selfplay_batch=512,
+                              games_per_iter=512),
+        ),
+        # The conv-ResNet variant of the flagship (kept for comparison /
+        # larger boards where convs pay off).
+        "connect4-resnet": Config(
             env="connect4",
             mcts=MCTSConfig(num_simulations=200, dirichlet_alpha=0.3),
             model=ModelConfig(family="resnet", channels=64, blocks=4),

@@ -54,6 +54,10 @@ def make_eval_fn(model, params) -> Callable[[jax.Array], Tuple[jax.Array, jax.Ar
         logits, value = model.apply({"params": params}, obs, deterministic=True)
         return jax.nn.softmax(logits, axis=-1), value
 
+    if isinstance(model, DenseTower):
+        # lets run_mcts dispatch to the whole-move fused kernel
+        # (search/pallas_fused.py) when it applies
+        eval_fn.dense_spec = (model, params)
     return eval_fn
 
 

@@ -351,6 +351,14 @@ def run_mcts(env, eval_fn: Optional[EvalFn], boards, players, move_counts,
     """
     B = boards.shape[0]
     if backend != "xla" and value_dtype == jnp.float32:
+        spec = getattr(eval_fn, "dense_spec", None)
+        if spec is not None and backend in ("auto", "fused"):
+            from alphazero_tpu.search import pallas_fused
+            if backend == "fused" or pallas_fused.supports_fused(
+                    env, B, cfg, spec[0]):
+                return pallas_fused.run_mcts_fused(
+                    env, spec[0], spec[1], eval_fn, boards, players,
+                    move_counts, dones, rng, cfg, use_dirichlet)
         from alphazero_tpu.search import pallas_mcts
         if backend == "pallas" or pallas_mcts.supports(
                 env, B, cfg, eval_fn is None):

@@ -153,6 +153,8 @@ def make_selfplay_runner(env, model, mcts_cfg: MCTSConfig,
     syms = Symmetries(env)
     fused_apply = None
 
+    from alphazero_tpu.models.dense import DenseTower
+
     def run(params, sp: SelfPlayState, buffer: ReplayBuffer):
         def eval_fn(obs):
             if fused_apply is not None:
@@ -161,6 +163,9 @@ def make_selfplay_runner(env, model, mcts_cfg: MCTSConfig,
                 logits, value = model.apply({"params": params}, obs,
                                             deterministic=True)
             return jax.nn.softmax(logits, axis=-1), value
+
+        if isinstance(model, DenseTower):
+            eval_fn.dense_spec = (model, params)  # whole-move fused kernel
 
         def body(carry, _):
             sp, buffer = carry
