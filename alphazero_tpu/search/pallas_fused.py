@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from alphazero_tpu.config import MCTSConfig
 from alphazero_tpu.search.pallas_mcts import (NEG, _descend, _game_tables,
-                                              _iota, _leaf_state)
+                                              _iota, _leaf_finish)
 
 BF = jnp.bfloat16
 
@@ -188,57 +188,89 @@ def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
     prior_s[:, 0, :] = rprior_ref[:]
     children_s[:] = jnp.full((A, N, B), -1.0, jnp.float32)
 
-    def sim(slot, _):
-        visit = visit_s[:]
-        val = val_s[:]
-        expd = expd_s[:]
-        depth, parent, action, chsel = _descend(
-            env, cfg, N, A, B, dcap, visit, val, expd, prior_s[:],
-            children_s[:], path_s, apath_s)
-        root_case = (parent < 0).astype(jnp.float32)
-        alloc = ((parent >= 0) & (chsel < 0)).astype(jnp.float32)
+    def make_sim(Nc):
+        """Simulation body over the first ``Nc`` tree rows only.
 
-        leaf, terminal, tval, obs, valid = _leaf_state(
-            env, N, A, B, dcap, board_ref, W_ref, aux_ref, apath_s,
-            rootp, rootmc, depth, root_case, chsel, slot, alloc)
+        Simulation ``slot`` can only reference nodes < ``slot``, so every
+        (N, B) op is restricted to the rows a segment can actually touch —
+        bitwise-identical results (excluded rows contribute exact zeros to
+        the one-hot contractions) at a fraction of the VPU work.
+        """
 
-        probs, value = _dense_forward(env, model, wrefs, obs, W_ref[:])
+        def sim(slot, _):
+            visit = visit_s[0:Nc, :]
+            val = val_s[0:Nc, :]
+            expd = expd_s[0:Nc, :]
+            p0_r = board_ref[0, :, :].astype(jnp.float32)      # (RC, B)
+            p1_r = board_ref[1, :, :].astype(jnp.float32)
+            if env.name == "connect4":
+                h0 = jnp.dot(aux_ref[:], p0_r + p1_r,
+                             preferred_element_type=jnp.float32)
+            else:
+                h0 = jnp.zeros((1, B), jnp.float32)
+            depth, parent, action, chsel, p0, p1, heights = _descend(
+                env, cfg, Nc, A, B, dcap, visit, val, expd,
+                prior_s[:, 0:Nc, :], children_s[:, 0:Nc, :], path_s,
+                apath_s, board=(p0_r, p1_r, h0, rootp))
+            root_case = (parent < 0).astype(jnp.float32)
+            alloc = ((parent >= 0) & (chsel < 0)).astype(jnp.float32)
 
-        # ---- expansion
-        do_expand = (alloc > 0) & (terminal == 0)
-        prior_s[:, pl.ds(slot, 1), :] = jnp.where(
-            do_expand & (valid > 0), probs, NEG)[:, None, :]
-        ohp = (_iota(N, B) == jnp.where(alloc > 0, parent, N)) \
-            .astype(jnp.float32)
-        oha = (_iota(A, B) == action).astype(jnp.float32)
-        edge = ohp[None] * oha[:, None, :]
-        children_s[:] = jnp.where(edge > 0, slot.astype(jnp.float32),
-                                  children_s[:])
+            leaf, terminal, tval, obs, valid = _leaf_finish(
+                env, B, W_ref, aux_ref, rootp, rootmc, depth, root_case,
+                chsel, slot, alloc, p0, p1, heights)
 
-        # ---- backup (ai/node.py:62-74 semantics)
-        leaf_value = jnp.where(terminal > 0, tval, -value)
-        dmax = jnp.max(depth)
+            probs, value = _dense_forward(env, model, wrefs, obs, W_ref[:])
 
-        def bk(c):
-            d, visit, val, expd = c
-            nd = path_s[pl.ds(d, 1), :]
-            nd = jnp.where(d == depth, leaf, nd)
-            am = (d <= depth).astype(jnp.float32)
-            sign = jnp.where((depth - d) % 2 == 0, 1.0, -1.0)
-            oh = (_iota(N, B) == nd).astype(jnp.float32) * am
-            visit = visit + oh
-            val = val + oh * (sign * leaf_value)
-            expd = expd + oh * jnp.where((d == depth) & do_expand, 1.0, 0.0)
-            return d + 1, visit, val, expd
+            # ---- expansion
+            do_expand = (alloc > 0) & (terminal == 0)
+            prior_s[:, pl.ds(slot, 1), :] = jnp.where(
+                do_expand & (valid > 0), probs, NEG)[:, None, :]
+            ohp = (_iota(Nc, B) == jnp.where(alloc > 0, parent, Nc)) \
+                .astype(jnp.float32)
+            oha = (_iota(A, B) == action).astype(jnp.float32)
+            edge = ohp[None] * oha[:, None, :]
+            children_s[:, 0:Nc, :] = jnp.where(
+                edge > 0, slot.astype(jnp.float32), children_s[:, 0:Nc, :])
 
-        _, visit, val, expd = jax.lax.while_loop(
-            lambda c: c[0] <= dmax, bk, (0, visit, val, expd))
-        visit_s[:] = visit
-        val_s[:] = val
-        expd_s[:] = expd
-        return 0
+            # ---- backup (ai/node.py:62-74 semantics)
+            leaf_value = jnp.where(terminal > 0, tval, -value)
+            dmax = jnp.max(depth)
 
-    jax.lax.fori_loop(1, cfg.num_simulations, sim, 0)
+            def bk(c):
+                d, visit, val, expd = c
+                nd = path_s[pl.ds(jnp.minimum(d, dcap - 1), 1), :]
+                nd = jnp.where(d == depth, leaf, nd)
+                am = (d <= depth).astype(jnp.float32)
+                sign = jnp.where((depth - d) % 2 == 0, 1.0, -1.0)
+                oh = (_iota(Nc, B) == nd).astype(jnp.float32) * am
+                visit = visit + oh
+                val = val + oh * (sign * leaf_value)
+                expd = expd + oh * jnp.where((d == depth) & do_expand,
+                                             1.0, 0.0)
+                return d + 1, visit, val, expd
+
+            # 2x unroll — loop control dominates; overrun plies mask to 0
+            _, visit, val, expd = jax.lax.while_loop(
+                lambda c: c[0] <= dmax, lambda c: bk(bk(c)),
+                (0, visit, val, expd))
+            visit_s[0:Nc, :] = visit
+            val_s[0:Nc, :] = val
+            expd_s[0:Nc, :] = expd
+            return 0
+
+        return sim
+
+    # Segment the sim loop so early simulations run on small tree windows.
+    # Row budget: simulation s backs up into row ``leaf`` ≤ s, so sims
+    # [lo, hi) need Nc ≥ hi rows (rounded to the 8-sublane tile).
+    S = cfg.num_simulations
+    n_seg = 4 if S >= 128 else (2 if S >= 64 else 1)
+    lo = 1
+    for k in range(1, n_seg + 1):
+        hi = min(S, -(-S * k) // n_seg)
+        Nc = min(N, -(-hi // 8) * 8)
+        jax.lax.fori_loop(lo, hi, make_sim(Nc), 0)
+        lo = hi
 
     # ---- root visit counts / q
     visit = visit_s[:]

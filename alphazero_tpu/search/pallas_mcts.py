@@ -169,11 +169,17 @@ def _apply_update(env, N, A, B, dcap, stats, prior_ref, children_ref,
 
 
 def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
-             path_ref, apath_ref, path_off=0):
+             path_ref, apath_ref, path_off=0, board=None):
     """UCB walk root→frontier; records interior nodes/actions into
     path/apath refs (path rows at ``path_off``..``path_off+dcap`` — leaf-
     batched rounds give each rank its own path segment).  Returns
-    (depth, parent, action, chsel) registers."""
+    (depth, parent, action, chsel) registers.
+
+    With ``board=(p0, p1, heights, rootp)`` the leaf board is built IN the
+    walk (each selected action is applied immediately), so callers skip the
+    separate path-replay loop; returns ``(..., p0, p1, heights)``."""
+    R, C = env.rows, env.cols
+    RC = R * C
     node0 = jnp.zeros((1, B), jnp.int32)
     pv0 = visit[0:1, :]
     stop0 = (expd[0:1, :] == 0).astype(jnp.int32)
@@ -181,16 +187,22 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
     parent0 = jnp.full((1, B), -1, jnp.int32)
     action0 = jnp.zeros((1, B), jnp.int32)
     chsel0 = jnp.zeros((1, B), jnp.float32)
+    if board is not None:
+        p0_0, p1_0, h0, rootp = board
 
     path_ref[pl.ds(path_off, dcap), :] = jnp.full((dcap, B), N, jnp.int32)
     apath_ref[:] = jnp.zeros((dcap, B), jnp.int32)
 
     def cond(c):
-        d, node, pv, stop, depth, parent, action, chsel = c
-        return (d < dcap) & (jnp.min(stop) < 1)
+        return (c[0] < dcap) & (jnp.min(c[3]) < 1)
 
     def body(c):
-        d, node, pv, stop, depth, parent, action, chsel = c
+        d, node, pv, stop, depth, parent, action, chsel = c[:8]
+        # 2x-unrolled callers may run one step past dcap: freeze every lane
+        # so the overrun body is an exact no-op (all writes below preserve
+        # frozen lanes' state).
+        stop = jnp.where(d >= dcap, jnp.ones_like(stop), stop)
+        dw = jnp.minimum(d, dcap - 1)                         # clamped row
         oh = (_iota(N, B) == node).astype(jnp.float32)        # (N, B)
         prow = jnp.sum(prior * oh[None], axis=1)              # (A, B)
         crow = jnp.sum(children * oh[None], axis=1)           # (A, B)
@@ -219,8 +231,13 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
         now_stop = ((c_sel < 0) | (e_sel == 0)).astype(jnp.int32)
 
         frozen = stop > 0
-        path_ref[pl.ds(path_off + d, 1), :] = jnp.where(frozen, N, node)
-        apath_ref[pl.ds(d, 1), :] = jnp.where(frozen, 0, act)
+        # read-modify-write: frozen lanes keep the initialized sentinel/0,
+        # so re-running the body never clobbers recorded path rows
+        prow_old = path_ref[pl.ds(path_off + dw, 1), :]
+        arow_old = apath_ref[pl.ds(dw, 1), :]
+        path_ref[pl.ds(path_off + dw, 1), :] = jnp.where(frozen, prow_old,
+                                                         node)
+        apath_ref[pl.ds(dw, 1), :] = jnp.where(frozen, arow_old, act)
         parent = jnp.where(frozen, parent, node)
         action = jnp.where(frozen, action, act)
         chsel = jnp.where(frozen, chsel, c_sel)
@@ -228,12 +245,39 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
         node = jnp.where(frozen | (now_stop > 0), node,
                          c_sel.astype(jnp.int32))
         pv = jnp.where(frozen, pv, v_sel)
-        return (d + 1, node, pv, jnp.maximum(stop, now_stop), depth,
-                parent, action, chsel)
+        out = (d + 1, node, pv, jnp.maximum(stop, now_stop), depth,
+               parent, action, chsel)
 
-    (_, _, _, _, depth, parent, action, chsel) = jax.lax.while_loop(
-        cond, body,
-        (0, node0, pv0, stop0, depth0, parent0, action0, chsel0))
+        if board is not None:
+            # apply the selected move for still-descending lanes — the
+            # board tracks the walk, replacing the post-hoc replay loop
+            p0, p1, heights = c[8:]
+            active = 1.0 - frozen.astype(jnp.float32)         # (1, B)
+            if env.name == "connect4":
+                col_oh = (_iota(C, B) == act).astype(jnp.float32)
+                h = jnp.sum(heights * col_oh, axis=0, keepdims=True)
+                cell = (R - 1 - h.astype(jnp.int32)) * C + act
+                heights = heights + col_oh * active
+            else:
+                cell = act
+            cell_oh = (_iota(RC, B) == cell).astype(jnp.float32) * active
+            mover = (rootp + d) % 2                           # (1, B)
+            is0 = (mover == 0).astype(jnp.float32)
+            p0 = p0 + cell_oh * is0
+            p1 = p1 + cell_oh * (1.0 - is0)
+            out = out + (p0, p1, heights)
+        return out
+
+    init = (0, node0, pv0, stop0, depth0, parent0, action0, chsel0)
+    if board is not None:
+        init = init + (p0_0, p1_0, h0)
+    # 2x unroll: halves the loop-control overhead (branch + cross-lane
+    # `min(stop)` reduction per iteration), which dominates the walk's cost
+    # at these array sizes; the possible extra body run is a no-op.
+    res = jax.lax.while_loop(cond, lambda c: body(body(c)), init)
+    depth, parent, action, chsel = res[4:8]
+    if board is not None:
+        return depth, parent, action, chsel, res[8], res[9], res[10]
     return depth, parent, action, chsel
 
 
@@ -440,6 +484,17 @@ def _leaf_state(env, N, A, B, dcap, board_ref, W_ref, aux_ref, apath_ref,
     _, p0, p1, heights = jax.lax.while_loop(
         recon_cond, recon, (0, p0, p1, heights0))
 
+    return _leaf_finish(env, B, W_ref, aux_ref, rootp, rootmc, depth,
+                        root_case, chsel, slot, alloc, p0, p1, heights)
+
+
+def _leaf_finish(env, B, W_ref, aux_ref, rootp, rootmc, depth, root_case,
+                 chsel, slot, alloc, p0, p1, heights):
+    """Terminal check / legal mask / canonical observation for a leaf board
+    that has already been built (by replay, or in-walk via ``_descend``'s
+    board carry)."""
+    RC = env.rows * env.cols
+    R, C = env.rows, env.cols
     leaf_player = (rootp + depth) % 2
     leaf_mc = rootmc + depth
     mover_is0 = ((1 - leaf_player) == 0).astype(jnp.float32)
