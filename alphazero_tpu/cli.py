@@ -42,7 +42,12 @@ def cmd_train(args):
                                            games_per_iter=args.games_per_iter))
     logger = MetricsLogger(path=f"{args.workdir}/metrics.jsonl"
                            if args.workdir else None)
-    tr = Trainer(cfg, workdir=args.workdir, logger=logger)
+    tr = Trainer(cfg, workdir=args.workdir, logger=logger,
+                 display=args.display)
+    if args.load_buffer:
+        n = tr.import_buffer(args.load_buffer, step=args.load_buffer_step)
+        print(f"imported {n} buffer rows from {args.load_buffer}",
+              file=sys.stderr)
     if args.profile_dir:
         from alphazero_tpu.utils.profiling import trace
         import contextlib
@@ -83,15 +88,26 @@ def cmd_eval(args):
 
     cfg = preset(args.preset)
     tr = Trainer(cfg, workdir=args.workdir)
-    if args.workdir and tr.restore_checkpoint():
+    if args.workdir and tr.restore_checkpoint(step=args.step):
         print(f"loaded version {tr.version}", file=sys.stderr)
     model_agent = Agent(make_eval_fn(tr.model, tr.params_best), cfg.mcts)
     if args.vs == "vanilla":
         sims = args.vanilla_sims or cfg.mcts.num_simulations
         other = Agent(None, dataclasses.replace(cfg.mcts,
                                                 num_simulations=sims))
-    else:  # self (best vs contender)
+    elif args.vs == "self":  # best vs contender of the same checkpoint
         other = Agent(make_eval_fn(tr.model, tr.params_new), cfg.mcts)
+    else:  # checkpoint: any version vs any version, any workdir — the
+        # reference's eval mode loads two arbitrary model files
+        # (main.py:181-197 → test.py:106)
+        trb = Trainer(cfg, workdir=args.workdir_b or args.workdir)
+        if not trb.restore_checkpoint(step=args.step_b):
+            print("--vs checkpoint: no checkpoint found at "
+                  f"{args.workdir_b or args.workdir} step={args.step_b}",
+                  file=sys.stderr)
+            sys.exit(1)
+        print(f"opponent: version {trb.version}", file=sys.stderr)
+        other = Agent(make_eval_fn(trb.model, trb.params_best), cfg.mcts)
     rate, score = compare(tr.env, other, model_agent, args.games,
                           jax.random.PRNGKey(args.seed), sampling=True)
     print(json.dumps({"model_win_rate": rate,
@@ -141,14 +157,32 @@ def main(argv=None):
                         "(reference mode 4)")
     t.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the run")
+    t.add_argument("--display", action="store_true",
+                   help="render game 0's board during self-play "
+                        "(reference self_play(display=True))")
+    t.add_argument("--load-buffer", default=None,
+                   help="seed the replay buffer from another run's "
+                        "checkpoint workdir (reference buffer preload, "
+                        "main.py:129)")
+    t.add_argument("--load-buffer-step", type=int, default=None)
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval", help="arena comparison")
     e.add_argument("--preset", default="connect4")
     e.add_argument("--workdir", default=None)
     e.add_argument("--games", type=int, default=32)
-    e.add_argument("--vs", choices=["vanilla", "self"], default="vanilla")
+    e.add_argument("--vs", choices=["vanilla", "self", "checkpoint"],
+                   default="vanilla")
     e.add_argument("--vanilla-sims", type=int, default=None)
+    e.add_argument("--step", type=int, default=None,
+                   help="checkpoint version for the primary agent "
+                        "(default: latest)")
+    e.add_argument("--workdir-b", default=None,
+                   help="--vs checkpoint: opponent's workdir "
+                        "(default: same as --workdir)")
+    e.add_argument("--step-b", type=int, default=None,
+                   help="--vs checkpoint: opponent's version "
+                        "(default: latest)")
     e.add_argument("--seed", type=int, default=0)
     e.set_defaults(fn=cmd_eval)
 

@@ -86,7 +86,10 @@ class TrainConfig:
     # with a flag to disable for reference-parity runs, SURVEY.md §2.4-6)
     gate_enabled: bool = True
     gate_threshold: float = 0.55   # main.py:50
-    gate_games: int = 128  # lane-aligned so the arena uses the Pallas search path
+    # 256 keeps each agent's per-move HALF-batch (eval/arena.py plays each
+    # agent only on the half of the boards where it is to move) at 128 lanes
+    # so the arena still rides the Pallas search path.
+    gate_games: int = 256
     # Data-collection doubling after 2 consecutive rejections (main.py:25-28)
     reject_double_after: int = 2
     outer_iterations: int = 1000   # main.py:23

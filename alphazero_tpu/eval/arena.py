@@ -50,30 +50,51 @@ def _agent_actions(env, agent: Agent, states, rng, t, sampling_moves: int):
 
 def make_play_games(env, agent_a: Agent, agent_b: Agent,
                     sampling_moves: int = 0):
-    """Build a jitted ``(rng, a_first (B,) bool) -> (winner_agent (B,))``
-    playing B full games; winner_agent: 0 = agent_a, 1 = agent_b, -1 draw."""
+    """Build a jitted ``(rng, B) -> (winner_agent (B,))`` playing B full
+    games with the side swap baked in: agent_a plays player 0 in games
+    [0, B//2) and player 1 in [B//2, B) (test.py:115-118).  winner_agent:
+    0 = agent_a, 1 = agent_b, -1 draw.
 
-    def play(rng, a_first):
-        B = a_first.shape[0]
+    Each move runs each agent's MCTS over only the HALF of the batch where
+    that agent is to move: players strictly alternate from move 0 in
+    lockstep (``env.step`` no-ops finished games without passing the turn),
+    so at move t player ``t % 2`` is to move everywhere — agent_a's games
+    are the low half at even t and the high half at odd t.  This halves the
+    search work vs searching all B boards with both agents and discarding
+    one side's result."""
+
+    def play(rng, B: int):
+        assert B % 2 == 0, "side swap needs an even game count"
+        h = B // 2
         states = jax.vmap(lambda _: env.init())(jnp.arange(B))
+
+        def half(states, lo: bool):
+            return jax.tree.map(lambda x: x[:h] if lo else x[h:], states)
 
         def body(t, carry):
             states, rng = carry
             rng, ka, kb = jax.random.split(rng, 3)
-            act_a = _agent_actions(env, agent_a, states, ka, t, sampling_moves)
-            act_b = _agent_actions(env, agent_b, states, kb, t, sampling_moves)
-            a_to_move = (states.current_player == 0) == a_first
-            action = jnp.where(a_to_move, act_a, act_b)
+            even = (t % 2) == 0
+            s_lo, s_hi = half(states, True), half(states, False)
+            pick = lambda c, x, y: jax.tree.map(
+                lambda a, b: jnp.where(c, a, b), x, y)
+            s_a = pick(even, s_lo, s_hi)      # agent_a's games this move
+            s_b = pick(even, s_hi, s_lo)
+            act_a = _agent_actions(env, agent_a, s_a, ka, t, sampling_moves)
+            act_b = _agent_actions(env, agent_b, s_b, kb, t, sampling_moves)
+            action = jnp.concatenate([jnp.where(even, act_a, act_b),
+                                      jnp.where(even, act_b, act_a)])
             states = jax.vmap(env.step)(states, action)
             return states, rng
 
         states, _ = jax.lax.fori_loop(0, env.max_moves, body, (states, rng))
         winner_player = states.winner                 # 0 / 1 / -1
+        a_first = jnp.arange(B) < h
         a_won = (winner_player == 0) == a_first
         return jnp.where(winner_player < 0, -1,
                          jnp.where(a_won, 0, 1))
 
-    return jax.jit(play)
+    return jax.jit(play, static_argnums=1)
 
 
 def compare(env, best: Agent, contender: Agent, games: int, rng,
@@ -87,8 +108,7 @@ def compare(env, best: Agent, contender: Agent, games: int, rng,
     """
     play = make_play_games(env, best, contender,
                            sampling_moves=sampling_moves if sampling else 0)
-    a_first = jnp.arange(games) < (games // 2)
-    w = np.asarray(play(rng, a_first))
+    w = np.asarray(play(rng, games))
     best_w = float((w == 0).sum())
     cont_w = float((w == 1).sum())
     draws = float((w == -1).sum())

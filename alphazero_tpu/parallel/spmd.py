@@ -66,7 +66,10 @@ def make_super_step(env, model, cfg: Config, mesh: Mesh,
         def tr_body(carry, _):
             params, opt_state, rng = carry
             rng, k = jax.random.split(rng)
-            obs, pol, val = sample(buffer, k, cfg.train.batch_size)
+            obs, pol, val = sample(
+                buffer, k, cfg.train.batch_size,
+                syms if cfg.replay.augment else None,
+                cfg.replay.augment_skip_moves)
             # constrain the batch onto the data axis so the forward/backward
             # run data-parallel and the gradient psum rides ICI
             obs = jax.lax.with_sharding_constraint(obs, dsh)
@@ -101,15 +104,26 @@ def shardings_for(env, model, cfg: Config, mesh: Mesh, params,
     p_sh = (vit_param_sharding(params, mesh) if tensor_parallel
             else replicated_param_sharding(params, mesh))
     sp_sh = batch_pytree_sharding(sp, mesh, sp.t.shape[0])
-    # the replay buffer replicates (capacity rows are shared training data)
-    buf_sh = jax.tree.map(lambda _: replicated(mesh), buffer)
+    # sharded buffer (one ring per data shard, data/replay.py
+    # create_sharded): every leaf's leading dim is the shard dim — writes
+    # and samples stay local, capacity/bandwidth scale with the mesh
+    if buffer.cursor.ndim != 1:
+        raise ValueError("SPMD super-step needs a sharded buffer; build it "
+                         "with create_sharded(env, cap, mesh.shape['data']) "
+                         "or convert with to_sharded")
+    buf_sh = jax.tree.map(lambda _: data_sharded(mesh), buffer)
     return p_sh, sp_sh, buf_sh, replicated(mesh)
 
 
 def jit_super_step(env, model, cfg: Config, mesh: Mesh, params, sp, buffer,
                    selfplay_steps: int, train_steps: int,
                    tensor_parallel: Optional[bool] = None):
-    """Jit the super-step with explicit in/out shardings and place state."""
+    """Jit the super-step with explicit in/out shardings and place state.
+
+    A flat (unsharded) ``buffer`` is re-laid out into one ring per data
+    shard first (data/replay.py:to_sharded)."""
+    from alphazero_tpu.data.replay import to_sharded
+    buffer = to_sharded(buffer, mesh.shape["data"])
     fn = make_super_step(env, model, cfg, mesh, selfplay_steps, train_steps,
                          tensor_parallel)
     p_sh, sp_sh, buf_sh, r_sh = shardings_for(

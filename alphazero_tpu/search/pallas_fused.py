@@ -35,8 +35,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from alphazero_tpu.config import MCTSConfig
-from alphazero_tpu.search.pallas_mcts import (NEG, _descend, _game_tables,
-                                              _iota, _leaf_finish)
+from alphazero_tpu.search.pallas_mcts import (NEG, _argmax_first, _descend,
+                                              _game_tables, _iota,
+                                              _leaf_finish)
 
 BF = jnp.bfloat16
 
@@ -151,42 +152,22 @@ def _dense_forward(env, model, wrefs, obs, W_lines):
     return probs, value
 
 
-def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
-                 *refs):
-    """One whole move: simulations 1..S-1 with the network inside.
+def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
+                   W_ref, aux_ref, get_board, rootp, rootmc,
+                   visit_s, val_s, prior_s, children_s,
+                   path_s, apath_s):
+    """Simulations 1..S-1 on an already-initialized tree (root expanded).
 
-    refs layout:
-      inputs:  board (2, RC, B), player (1, B), mc (1, B),
-               root_prior (A, B), root_v (1, B), live (1, B),
-               W (RC, L), aux, then n_w weight arrays
-      outputs: counts (A, B) f32, rootq (1, B) f32
-      scratch: visit/val/expd (N, B), prior (A, N, B), children (A, N, B),
-               path (dcap, B) i32, apath (dcap, B) i32
+    Shared by the single-move kernel (root eval host-side) and the
+    multi-move self-play kernel (root eval in-kernel).  ``get_board()``
+    returns the CURRENT root planes ``(p0, p1) (RC, B)`` f32.
+
+    ``visit_s`` is ENC-coded ``visit + 0.5·expanded`` (exact in f32) — one
+    array instead of two cuts the dominant per-action gather passes of the
+    descent from 3 to 2 (see pallas_mcts._descend enc mode).
     """
-    (board_ref, player_ref, mc_ref, rprior_ref, rv_ref, live_ref,
-     W_ref, aux_ref) = refs[:8]
-    wrefs = refs[8:8 + n_w]
-    counts_ref, rootq_ref = refs[8 + n_w:10 + n_w]
-    (visit_s, val_s, expd_s, prior_s, children_s, path_s,
-     apath_s) = refs[10 + n_w:]
-
     A = env.action_dim
-    N = visit_s.shape[0]
-    B = visit_s.shape[1]
-    rootp = player_ref[:]
-    rootmc = mc_ref[:]
-    live = live_ref[:]
-
-    # ---- root expansion (host-computed prior/value; ai/mcts.py:34-56)
-    visit_s[:] = jnp.zeros((N, B), jnp.float32)
-    val_s[:] = jnp.zeros((N, B), jnp.float32)
-    expd_s[:] = jnp.zeros((N, B), jnp.float32)
-    visit_s[0:1, :] = jnp.ones((1, B), jnp.float32)
-    val_s[0:1, :] = jnp.where(live > 0, -rv_ref[:], 0.0)
-    expd_s[0:1, :] = (live > 0).astype(jnp.float32)
-    prior_s[:] = jnp.full((A, N, B), NEG, jnp.float32)
-    prior_s[:, 0, :] = rprior_ref[:]
-    children_s[:] = jnp.full((A, N, B), -1.0, jnp.float32)
+    N, B = visit_s.shape
 
     def make_sim(Nc):
         """Simulation body over the first ``Nc`` tree rows only.
@@ -200,16 +181,14 @@ def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
         def sim(slot, _):
             visit = visit_s[0:Nc, :]
             val = val_s[0:Nc, :]
-            expd = expd_s[0:Nc, :]
-            p0_r = board_ref[0, :, :].astype(jnp.float32)      # (RC, B)
-            p1_r = board_ref[1, :, :].astype(jnp.float32)
+            p0_r, p1_r = get_board()
             if env.name == "connect4":
                 h0 = jnp.dot(aux_ref[:], p0_r + p1_r,
                              preferred_element_type=jnp.float32)
             else:
                 h0 = jnp.zeros((1, B), jnp.float32)
             depth, parent, action, chsel, p0, p1, heights = _descend(
-                env, cfg, Nc, A, B, dcap, visit, val, expd,
+                env, cfg, Nc, A, B, dcap, visit, val, None,
                 prior_s[:, 0:Nc, :], children_s[:, 0:Nc, :], path_s,
                 apath_s, board=(p0_r, p1_r, h0, rootp))
             root_case = (parent < 0).astype(jnp.float32)
@@ -232,30 +211,29 @@ def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
             children_s[:, 0:Nc, :] = jnp.where(
                 edge > 0, slot.astype(jnp.float32), children_s[:, 0:Nc, :])
 
-            # ---- backup (ai/node.py:62-74 semantics)
+            # ---- backup (ai/node.py:62-74 semantics); the leaf ply adds
+            # 1 + 0.5·expand into the enc array, interior plies add 1
             leaf_value = jnp.where(terminal > 0, tval, -value)
             dmax = jnp.max(depth)
 
             def bk(c):
-                d, visit, val, expd = c
+                d, visit, val = c
                 nd = path_s[pl.ds(jnp.minimum(d, dcap - 1), 1), :]
                 nd = jnp.where(d == depth, leaf, nd)
                 am = (d <= depth).astype(jnp.float32)
                 sign = jnp.where((depth - d) % 2 == 0, 1.0, -1.0)
                 oh = (_iota(Nc, B) == nd).astype(jnp.float32) * am
-                visit = visit + oh
+                inc = 1.0 + jnp.where((d == depth) & do_expand, 0.5, 0.0)
+                visit = visit + oh * inc
                 val = val + oh * (sign * leaf_value)
-                expd = expd + oh * jnp.where((d == depth) & do_expand,
-                                             1.0, 0.0)
-                return d + 1, visit, val, expd
+                return d + 1, visit, val
 
             # 2x unroll — loop control dominates; overrun plies mask to 0
-            _, visit, val, expd = jax.lax.while_loop(
+            _, visit, val = jax.lax.while_loop(
                 lambda c: c[0] <= dmax, lambda c: bk(bk(c)),
-                (0, visit, val, expd))
+                (0, visit, val))
             visit_s[0:Nc, :] = visit
             val_s[0:Nc, :] = val
-            expd_s[0:Nc, :] = expd
             return 0
 
         return sim
@@ -272,7 +250,12 @@ def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
         jax.lax.fori_loop(lo, hi, make_sim(Nc), 0)
         lo = hi
 
-    # ---- root visit counts / q
+
+def _root_counts(env, visit_s, children_s, val_s):
+    """Root visit counts (A, B) and root Q (1, B) from the tree arrays.
+    ``visit_s`` is enc-coded (visit + 0.5·expanded): floor decodes."""
+    A = env.action_dim
+    N, B = visit_s.shape
     visit = visit_s[:]
     crow = children_s[:, 0, :]                                 # (A, B)
     cnt = []
@@ -280,9 +263,363 @@ def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
         oh = (_iota(N, B) == crow[a:a + 1, :].astype(jnp.int32)) \
             .astype(jnp.float32)
         cnt.append(jnp.sum(visit * oh, axis=0, keepdims=True))
-    counts = jnp.concatenate(cnt, axis=0)
-    counts_ref[:] = jnp.where(crow >= 0, counts, 0.0)
-    rootq_ref[:] = val_s[0:1, :] / jnp.maximum(visit[0:1, :], 1.0)
+    counts = jnp.where(crow >= 0, jnp.floor(jnp.concatenate(cnt, axis=0)),
+                       0.0)
+    rootq = val_s[0:1, :] / jnp.maximum(jnp.floor(visit[0:1, :]), 1.0)
+    return counts, rootq
+
+
+def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
+                 *refs):
+    """One whole move: simulations 1..S-1 with the network inside.
+
+    refs layout:
+      inputs:  board (2, RC, B), player (1, B), mc (1, B),
+               root_prior (A, B), root_v (1, B), live (1, B),
+               W (RC, L), aux, then n_w weight arrays
+      outputs: counts (A, B) f32, rootq (1, B) f32
+      scratch: visit (enc) / val (N, B), prior (A, N, B),
+               children (A, N, B), path (dcap, B) i32, apath (dcap, B) i32
+    """
+    (board_ref, player_ref, mc_ref, rprior_ref, rv_ref, live_ref,
+     W_ref, aux_ref) = refs[:8]
+    wrefs = refs[8:8 + n_w]
+    counts_ref, rootq_ref = refs[8 + n_w:10 + n_w]
+    (visit_s, val_s, prior_s, children_s, path_s,
+     apath_s) = refs[10 + n_w:]
+
+    A = env.action_dim
+    N = visit_s.shape[0]
+    B = visit_s.shape[1]
+    rootp = player_ref[:]
+    rootmc = mc_ref[:]
+    live = live_ref[:]
+
+    # ---- root expansion (host-computed prior/value; ai/mcts.py:34-56).
+    # visit is enc-coded: root = 1 visit + 0.5 if expanded (live games).
+    visit_s[:] = jnp.zeros((N, B), jnp.float32)
+    val_s[:] = jnp.zeros((N, B), jnp.float32)
+    visit_s[0:1, :] = 1.0 + 0.5 * (live > 0).astype(jnp.float32)
+    val_s[0:1, :] = jnp.where(live > 0, -rv_ref[:], 0.0)
+    prior_s[:] = jnp.full((A, N, B), NEG, jnp.float32)
+    prior_s[:, 0, :] = rprior_ref[:]
+    children_s[:] = jnp.full((A, N, B), -1.0, jnp.float32)
+
+    def get_board():
+        return (board_ref[0, :, :].astype(jnp.float32),
+                board_ref[1, :, :].astype(jnp.float32))
+
+    _run_move_sims(env, cfg, model, dcap, wrefs, W_ref, aux_ref, get_board,
+                   rootp, rootmc, visit_s, val_s, prior_s,
+                   children_s, path_s, apath_s)
+
+    counts, rootq = _root_counts(env, visit_s, children_s, val_s)
+    counts_ref[:] = counts
+    rootq_ref[:] = rootq
+
+
+# --------------------------------------------------------------------------
+# multi-move self-play kernel: M whole moves per pallas_call
+# --------------------------------------------------------------------------
+#
+# The single-move kernel still pays, per move, an XLA root forward +
+# Dirichlet prep, input transposes, kernel launch, tree-scratch init, and
+# the action-selection / env-step / trajectory glue ops between launches.
+# This kernel runs M complete self-play moves back-to-back on-core:
+#
+#   for m in 0..M-1:  root obs → dense forward → Dirichlet mix (noise
+#   precomputed host-side: jax.random.dirichlet has no in-kernel
+#   equivalent) → tree init → S-1 simulations → visit counts → action
+#   (visit-sampled below temperature_moves via inverse-CDF on a supplied
+#   uniform, argmax after; gomoku.py:144) → env step (gravity, win matmul)
+#   → record (obs, π, player, t, action, done, winner, root Q) → auto-reset
+#   finished games.
+#
+# Only the per-move RECORDS leave the chip; the surrounding runner folds
+# them into trajectory slabs / replay flushes once per chunk
+# (training/selfplay.py).  Semantics per move are identical to
+# run_mcts_fused except the root evaluation runs in-kernel (same bf16
+# matmul class as the flax forward) and action sampling uses inverse-CDF
+# on uniforms instead of jax.random.categorical (same distribution).
+
+
+def supports_selfplay_fused(env, batch: int, cfg: MCTSConfig, model,
+                            replay_augment_ok: bool = True) -> bool:
+    """Multi-move kernel applies under the same conditions as the
+    single-move kernel plus Dirichlet root noise enabled-or-disabled
+    uniformly (it is a static flag in-kernel).  ``AZ_DISABLE_CHUNK=1``
+    forces the per-move path (A/B timing, fallback)."""
+    import os
+    if os.environ.get("AZ_DISABLE_CHUNK"):
+        return False
+    return supports_fused(env, batch, cfg, model)
+
+
+def _sample_from_counts(cfg: MCTSConfig, counts, policy, u, t):
+    """Action per game (1, B) i32: visit-sampled while ``t`` <
+    ``temperature_moves`` (inverse-CDF on ``u`` ∈ [0,1)), argmax after —
+    gomoku.py:144 / training/selfplay.py semantics."""
+    A, B = counts.shape
+    ids = _iota(A, B)
+    greedy = _argmax_first(counts, A, B)
+    # inverse CDF, unrolled over the small action dim (Mosaic-safe cumsum)
+    rows, acc = [], jnp.zeros((1, B), jnp.float32)
+    for a in range(A):
+        acc = acc + policy[a:a + 1, :]
+        rows.append(acc)
+    cum = jnp.concatenate(rows, axis=0)                    # (A, B)
+    cand = jnp.where(cum > u, ids, A)
+    sampled = jnp.min(cand, axis=0, keepdims=True)
+    # float-edge fallback (cum[-1] < u by rounding): last visited action
+    last_visited = jnp.max(jnp.where(counts > 0, ids, -1), axis=0,
+                           keepdims=True)
+    sampled = jnp.where(sampled >= A, last_visited, sampled)
+    return jnp.where(t < cfg.temperature_moves, sampled, greedy)
+
+
+def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
+                  *refs):
+    """M whole self-play moves for all B games.
+
+    refs layout:
+      inputs:  board (2, RC, B) f32, player (1, B) i32, mc (1, B) i32,
+               noise (M·Ap, B) f32, unif (M·8, B) f32, W (RC, L), aux,
+               then n_w weight arrays
+      outputs: board/player/mc (aliased in place),
+               rec_obs (M·ORCp, B) f32, rec_policy (M·Ap, B) f32,
+               rec_meta (M·8, B) f32 rows per move:
+                 [player, t_pre, action, done, winner, root_q, 0, 0]
+      scratch: visit (enc) / val (N, B), prior (A, N, B),
+               children (A, N, B), path (dcap, B) i32, apath (dcap, B) i32
+    """
+    (board_in, player_in, mc_in, noise_ref, unif_ref, W_ref,
+     aux_ref) = refs[:7]
+    wrefs = refs[7:7 + n_w]
+    (board_ref, player_ref, mc_ref, obs_out, pol_out,
+     meta_out) = refs[7 + n_w:13 + n_w]
+    (visit_s, val_s, prior_s, children_s, path_s,
+     apath_s) = refs[13 + n_w:]
+
+    A = env.action_dim
+    RC = env.rows * env.cols
+    R, C = env.rows, env.cols
+    F = env.feature_dim
+    N, B = visit_s.shape
+    Ap = _pad8_local(A)
+    ORCp = _pad8_local(F * RC)
+    eps = jnp.float32(cfg.dirichlet_eps)
+
+    def move(m, _):
+        p0 = board_ref[0, :, :]                                # (RC, B) f32
+        p1 = board_ref[1, :, :]
+        player = player_ref[:]                                 # (1, B) i32
+        mc = mc_ref[:]
+
+        # ---- canonical root observation (envs/core.py observation)
+        is0 = (player == 0).astype(jnp.float32)
+        mine = p0 * is0 + p1 * (1.0 - is0)
+        theirs = p1 * is0 + p0 * (1.0 - is0)
+        if F == 3:
+            tomove = jnp.broadcast_to(player.astype(jnp.float32), (RC, B))
+            obs = jnp.concatenate([mine, theirs, tomove], axis=0)
+        else:
+            obs = jnp.concatenate([mine, theirs], axis=0)
+
+        # ---- root evaluation + Dirichlet mix (ai/mcts.py:34-53)
+        probs0, value0 = _dense_forward(env, model, wrefs, obs, W_ref[:])
+        if cfg.use_dirichlet:
+            nz = noise_ref[pl.ds(m * Ap, A), :]
+            probs0 = (1.0 - eps) * probs0 + eps * nz
+
+        # ---- legal mask at the root
+        occ = p0 + p1
+        if env.name == "connect4":
+            heights = jnp.dot(aux_ref[:], occ,
+                              preferred_element_type=jnp.float32)  # (C, B)
+            valid = (heights < R).astype(jnp.float32)
+        elif env.name.startswith("gomoku"):
+            near = jnp.dot(aux_ref[:], occ,
+                           preferred_element_type=jnp.float32)
+            empty = (occ == 0).astype(jnp.float32)
+            center = (_iota(RC, B) == (R // 2) * C + C // 2) \
+                .astype(jnp.float32)
+            any_st = jnp.max(occ, axis=0, keepdims=True)
+            valid = jnp.where(any_st > 0,
+                              (near > 0).astype(jnp.float32) * empty, center)
+        else:
+            valid = (occ == 0).astype(jnp.float32)
+
+        # ---- tree init (root expansion; every game is live in-kernel —
+        # finished games were reset at the end of the previous move).
+        # visit is enc-coded: root = 1 visit + 0.5 expanded.
+        visit_s[:] = jnp.zeros((N, B), jnp.float32)
+        val_s[:] = jnp.zeros((N, B), jnp.float32)
+        visit_s[0:1, :] = jnp.full((1, B), 1.5, jnp.float32)
+        val_s[0:1, :] = -value0
+        prior_s[:] = jnp.full((A, N, B), NEG, jnp.float32)
+        prior_s[:, 0, :] = jnp.where(valid > 0, probs0, NEG)
+        children_s[:] = jnp.full((A, N, B), -1.0, jnp.float32)
+
+        _run_move_sims(env, cfg, model, dcap, wrefs, W_ref, aux_ref,
+                       lambda: (p0, p1), player, mc, visit_s, val_s,
+                       prior_s, children_s, path_s, apath_s)
+
+        counts, rootq = _root_counts(env, visit_s, children_s, val_s)
+        total = jnp.maximum(jnp.sum(counts, axis=0, keepdims=True), 1.0)
+        policy = counts / total
+
+        # ---- action selection
+        u = unif_ref[pl.ds(m * 8, 1), :]                       # (1, B)
+        action = _sample_from_counts(cfg, counts, policy, u, mc)
+
+        # ---- record BEFORE stepping (train.py:37, gomoku.py:138-140)
+        obs_out[pl.ds(m * ORCp, F * RC), :] = obs
+        pol_out[pl.ds(m * Ap, A), :] = policy
+
+        # ---- env step (envs/core.py:step semantics)
+        if env.name == "connect4":
+            col_oh = (_iota(C, B) == action).astype(jnp.float32)
+            h = jnp.sum(heights * col_oh, axis=0, keepdims=True)
+            cell = (R - 1 - h.astype(jnp.int32)) * C + action
+        else:
+            cell = action
+        cell_oh = (_iota(RC, B) == cell).astype(jnp.float32)
+        p0n = p0 + cell_oh * is0
+        p1n = p1 + cell_oh * (1.0 - is0)
+        mover_plane = p0n * is0 + p1n * (1.0 - is0)
+        linesum = jnp.dot(W_ref[:].T, mover_plane,
+                          preferred_element_type=jnp.float32)
+        won = (jnp.max(linesum, axis=0, keepdims=True)
+               >= env.win_len).astype(jnp.float32)
+        mc1 = mc + 1
+        done = jnp.maximum(won, (mc1 >= env.max_moves).astype(jnp.float32))
+        winner = jnp.where(won > 0, player.astype(jnp.float32), -1.0)
+
+        meta_out[pl.ds(m * 8, 8), :] = jnp.concatenate([
+            player.astype(jnp.float32),
+            mc.astype(jnp.float32),
+            action.astype(jnp.float32),
+            done,
+            winner,
+            rootq,
+            jnp.zeros((2, B), jnp.float32),
+        ], axis=0)
+
+        # ---- auto-reset finished games, else advance
+        keep = 1.0 - done
+        board_ref[0, :, :] = p0n * keep
+        board_ref[1, :, :] = p1n * keep
+        player_ref[:] = jnp.where(done > 0, 0, 1 - player)
+        mc_ref[:] = jnp.where(done > 0, 0, mc1)
+        return 0
+
+    # copy live state into the aliased outputs once, then loop moves
+    board_ref[:] = board_in[:]
+    player_ref[:] = player_in[:]
+    mc_ref[:] = mc_in[:]
+    jax.lax.fori_loop(0, M, move, 0)
+
+
+def _pad8_local(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def run_selfplay_chunk_fused(env, model, params, boards, players,
+                             move_counts, rng, cfg: MCTSConfig, M: int,
+                             interpret: bool = False):
+    """Run M fused self-play moves for all B games.
+
+    Inputs are raw env state arrays (``boards (B, 2, R, C)`` int8,
+    ``players/move_counts (B,)``); all games must be LIVE (auto-reset
+    happens in-kernel).  Returns a dict of per-move records (move-major)::
+
+      obs (M, B, F, R, C) int8   canonical observation before the move
+      policy (M, B, A) f32       root visit distribution
+      player (M, B) i32          player to move
+      t (M, B) i32               move index within the game
+      action (M, B) i32          action taken
+      done (M, B) bool           game finished on this move
+      winner (M, B) i32          0/1 winner or -1 (valid where done)
+      root_q (M, B) f32
+      board/player/mc            final state after M moves (resets applied)
+    """
+    B = boards.shape[0]
+    A = env.action_dim
+    RC = env.rows * env.cols
+    F = env.feature_dim
+    N = cfg.num_simulations + 1
+    dcap = int(min(env.max_moves + 1, cfg.num_simulations + 1))
+    Ap = _pad8_local(A)
+    ORCp = _pad8_local(F * RC)
+
+    rng_n, rng_u = jax.random.split(rng)
+    noise = jax.random.dirichlet(
+        rng_n, jnp.full((A,), cfg.dirichlet_alpha, jnp.float32),
+        shape=(M, B)).astype(jnp.float32)                  # (M, B, A)
+    noise_t = jnp.zeros((M, Ap, B), jnp.float32) \
+        .at[:, :A, :].set(noise.transpose(0, 2, 1)).reshape(M * Ap, B)
+    unif = jax.random.uniform(rng_u, (M, 1, B), jnp.float32)
+    unif_t = jnp.zeros((M, 8, B), jnp.float32) \
+        .at[:, :1, :].set(unif).reshape(M * 8, B)
+
+    tables = _game_tables(env)
+    W = jnp.asarray(tables["W"])
+    aux = jnp.asarray(tables["aux"])
+    ws = _pack_dense_params(model, params)
+    n_w = len(ws)
+
+    board_t = boards.astype(jnp.float32).reshape(B, 2, RC).transpose(1, 2, 0)
+    player_t = players.astype(jnp.int32).reshape(1, B)
+    mc_t = move_counts.astype(jnp.int32).reshape(1, B)
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kern = pl.pallas_call(
+        functools.partial(_chunk_kernel, env, cfg, dcap, model, n_w, M),
+        out_shape=(
+            jax.ShapeDtypeStruct((2, RC, B), jnp.float32),   # board
+            jax.ShapeDtypeStruct((1, B), jnp.int32),         # player
+            jax.ShapeDtypeStruct((1, B), jnp.int32),         # mc
+            jax.ShapeDtypeStruct((M * ORCp, B), jnp.float32),  # obs
+            jax.ShapeDtypeStruct((M * Ap, B), jnp.float32),  # policy
+            jax.ShapeDtypeStruct((M * 8, B), jnp.float32),   # meta
+        ),
+        in_specs=[vspec] * (7 + n_w),
+        out_specs=(vspec,) * 6,
+        input_output_aliases={0: 0, 1: 1, 2: 2},
+        scratch_shapes=[
+            pltpu.VMEM((N, B), jnp.float32),             # visit (enc)
+            pltpu.VMEM((N, B), jnp.float32),             # val
+            pltpu.VMEM((A, N, B), jnp.float32),          # prior
+            pltpu.VMEM((A, N, B), jnp.float32),          # children
+            pltpu.VMEM((dcap, B), jnp.int32),            # path
+            pltpu.VMEM((dcap, B), jnp.int32),            # apath
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+    board_o, player_o, mc_o, obs_o, pol_o, meta_o = kern(
+        board_t, player_t, mc_t, noise_t, unif_t, W, aux, *ws)
+
+    obs_m = obs_o.reshape(M, ORCp, B)[:, :F * RC].transpose(0, 2, 1) \
+        .reshape(M, B, F, env.rows, env.cols).astype(jnp.int8)
+    pol_m = pol_o.reshape(M, Ap, B)[:, :A].transpose(0, 2, 1)  # (M, B, A)
+    meta = meta_o.reshape(M, 8, B)
+    board_f = (board_o.transpose(2, 0, 1) > 0.5).reshape(
+        B, 2, env.rows, env.cols).astype(jnp.int8)
+    return {
+        "obs": obs_m,
+        "policy": pol_m,
+        "player": meta[:, 0].astype(jnp.int32),
+        "t": meta[:, 1].astype(jnp.int32),
+        "action": meta[:, 2].astype(jnp.int32),
+        "done": meta[:, 3] > 0,
+        "winner": meta[:, 4].astype(jnp.int32),
+        "root_q": meta[:, 5],
+        "board": board_f,
+        "player_final": player_o.reshape(B),
+        "mc_final": mc_o.reshape(B),
+    }
 
 
 def run_mcts_fused(env, model, params, eval_fn, boards, players,
@@ -335,9 +672,8 @@ def run_mcts_fused(env, model, params, eval_fn, boards, players,
         in_specs=[vspec] * (8 + n_w),
         out_specs=(vspec, vspec),
         scratch_shapes=[
-            pltpu.VMEM((N, B), jnp.float32),             # visit
+            pltpu.VMEM((N, B), jnp.float32),             # visit (enc)
             pltpu.VMEM((N, B), jnp.float32),             # val
-            pltpu.VMEM((N, B), jnp.float32),             # expd
             pltpu.VMEM((A, N, B), jnp.float32),          # prior
             pltpu.VMEM((A, N, B), jnp.float32),          # children
             pltpu.VMEM((dcap, B), jnp.int32),            # path

@@ -177,12 +177,23 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
 
     With ``board=(p0, p1, heights, rootp)`` the leaf board is built IN the
     walk (each selected action is applied immediately), so callers skip the
-    separate path-replay loop; returns ``(..., p0, p1, heights)``."""
+    separate path-replay loop; returns ``(..., p0, p1, heights)``.
+
+    ``expd=None`` selects ENC mode: ``visit`` carries
+    ``true_visit + 0.5·expanded`` (exact in f32 — visits are integers far
+    below 2²³).  This drops one of the three per-action child-stat gather
+    passes, the dominant VPU cost of the walk; callers decode with
+    ``floor``."""
     R, C = env.rows, env.cols
     RC = R * C
+    enc = expd is None
     node0 = jnp.zeros((1, B), jnp.int32)
-    pv0 = visit[0:1, :]
-    stop0 = (expd[0:1, :] == 0).astype(jnp.int32)
+    if enc:
+        pv0 = jnp.floor(visit[0:1, :])
+        stop0 = (visit[0:1, :] == pv0).astype(jnp.int32)   # frac 0 ⇔ unexp.
+    else:
+        pv0 = visit[0:1, :]
+        stop0 = (expd[0:1, :] == 0).astype(jnp.int32)
     depth0 = jnp.zeros((1, B), jnp.int32)
     parent0 = jnp.full((1, B), -1, jnp.int32)
     action0 = jnp.zeros((1, B), jnp.int32)
@@ -214,10 +225,16 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
                    ).astype(jnp.float32)
             cv.append(jnp.sum(visit * oha, axis=0, keepdims=True))
             cl.append(jnp.sum(val * oha, axis=0, keepdims=True))
-            ce.append(jnp.sum(expd * oha, axis=0, keepdims=True))
+            if not enc:
+                ce.append(jnp.sum(expd * oha, axis=0, keepdims=True))
         cvisit = jnp.concatenate(cv, axis=0)                  # (A, B)
         cvalue = jnp.concatenate(cl, axis=0)
-        cexp = jnp.concatenate(ce, axis=0)
+        if enc:                       # decode visit+0.5·expanded
+            cfloor = jnp.floor(cvisit)
+            cexp = (cvisit - cfloor) * 2.0
+            cvisit = cfloor
+        else:
+            cexp = jnp.concatenate(ce, axis=0)
         q = jnp.where(cvisit > 0, cvalue / jnp.maximum(cvisit, 1.0), 0.0)
         explore = prow * (jnp.sqrt(pv) / (cvisit + 1.0))
         if cfg.formula == "alphazero":

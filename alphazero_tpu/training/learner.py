@@ -57,13 +57,19 @@ def loss_fn(model, params, obs, policy_target, value_target,
     return loss, TrainMetrics(loss, policy_loss, value_loss, l2)
 
 
-def make_train_step(model, cfg: TrainConfig) -> Callable:
+def make_train_step(model, cfg: TrainConfig, syms=None,
+                    augment_skip: int = 0) -> Callable:
     """Jittable ``(params, opt_state, buffer, rng) -> (params, opt_state,
-    metrics)`` doing one Adam step on a uniform replay sample."""
+    metrics)`` doing one Adam step on a uniform replay sample.
+
+    ``syms``/``augment_skip``: sample-time symmetry augmentation — the
+    reference's buffer-write-time 8-fold orbit (train.py:30-49) applied at
+    read time instead (distributionally identical, data/replay.py)."""
     opt = make_optimizer(cfg)
 
     def train_step(params, opt_state, buffer: ReplayBuffer, rng):
-        obs, pol, val = sample(buffer, rng, cfg.batch_size)
+        obs, pol, val = sample(buffer, rng, cfg.batch_size, syms,
+                               augment_skip)
         grads, metrics = jax.grad(
             lambda p: loss_fn(model, p, obs, pol, val, cfg.l2_coeff),
             has_aux=True,
@@ -76,10 +82,11 @@ def make_train_step(model, cfg: TrainConfig) -> Callable:
 
 
 def make_train_epoch(model, cfg: TrainConfig, num_steps: int,
-                     donate: bool = True) -> Callable:
+                     donate: bool = True, syms=None,
+                     augment_skip: int = 0) -> Callable:
     """Jitted scan of ``num_steps`` train steps (the reference's
     ``train_iterations = buffer//batch`` inner loop, train.py:95)."""
-    step = make_train_step(model, cfg)
+    step = make_train_step(model, cfg, syms, augment_skip)
 
     def epoch(params, opt_state, buffer: ReplayBuffer, rng):
         def body(carry, _):

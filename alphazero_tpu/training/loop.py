@@ -20,6 +20,8 @@ import numpy as np
 
 from alphazero_tpu.config import Config, MCTSConfig
 from alphazero_tpu.data import create as create_buffer
+from alphazero_tpu.data import num_rows_augmented
+from alphazero_tpu.data.augment import Symmetries
 from alphazero_tpu.envs import make_env
 from alphazero_tpu.eval.arena import Agent, compare
 from alphazero_tpu.models import build_model, init_params, make_eval_fn
@@ -37,7 +39,11 @@ class Trainer:
     """Single-host trainer (multi-host sharding lives in parallel/)."""
 
     def __init__(self, cfg: Config, workdir: Optional[str] = None,
-                 logger: Optional[MetricsLogger] = None):
+                 logger: Optional[MetricsLogger] = None,
+                 display: bool = False):
+        # display: render game 0's board after every self-play chunk —
+        # the reference's self_play(display=True) (connect4.py:117,141-148)
+        self.display = display
         self.cfg = cfg
         self.env = make_env(cfg.env)
         self.model = build_model(cfg.model, self.env)
@@ -56,12 +62,15 @@ class Trainer:
         self.outer_iter = 0
         self.reject_count = 0
 
+        self._syms = Symmetries(self.env)
         self._runner = make_selfplay_runner(
             self.env, self.model, cfg.mcts, cfg.replay,
             num_steps=SELFPLAY_CHUNK_STEPS, donate=False,
         )
         self._epoch = make_train_epoch(
             self.model, cfg.train, num_steps=TRAIN_CHUNK_STEPS, donate=False,
+            syms=self._syms if cfg.replay.augment else None,
+            augment_skip=cfg.replay.augment_skip_moves,
         )
         self._ckpt = CheckpointManager(f"{workdir}/checkpoints") if workdir else None
 
@@ -76,6 +85,10 @@ class Trainer:
             self.sp, self.buffer = self._runner(
                 self.params_best, self.sp, self.buffer
             )
+            if self.display:
+                s0 = jax.tree.map(lambda x: x[0], self.sp.env_state)
+                print(f"[game 0, move {int(s0.move_count)}]\n"
+                      f"{self.env.render(s0)}", flush=True)
         dt = time.time() - t0
         steps = int(self.sp.env_steps) - start_steps
         m = {
@@ -83,17 +96,24 @@ class Trainer:
             "env_steps": steps,
             "env_steps_per_s": steps / max(dt, 1e-9),
             "sims_per_s": steps * self.cfg.mcts.num_simulations / max(dt, 1e-9),
-            "buffer_size": int(self.buffer.size),
+            "buffer_size": self._buffer_rows(),
             "results": np.asarray(self.sp.results).tolist(),
             "seconds": dt,
         }
         self.log.log("collect", **m)
         return m
 
+    def _buffer_rows(self) -> int:
+        """Buffer occupancy in the reference's units: augmented rows
+        (symmetry orbits counted, data/replay.py:num_rows_augmented)."""
+        n_syms = self._syms.num if self.cfg.replay.augment else 1
+        return int(num_rows_augmented(self.buffer, n_syms,
+                                      self.cfg.replay.augment_skip_moves))
+
     def train_epoch(self) -> dict:
         """SGD on the contender: buffer//batch steps, fresh Adam state
         (train.py:85-123, main.py:35)."""
-        steps = max(int(self.buffer.size) // self.cfg.train.batch_size, 1)
+        steps = max(self._buffer_rows() // self.cfg.train.batch_size, 1)
         if self.cfg.train.train_steps_per_iter is not None:
             steps = self.cfg.train.train_steps_per_iter
         opt_state = make_optimizer(self.cfg.train).init(self.params_new)
@@ -190,10 +210,51 @@ class Trainer:
         if self._ckpt:
             self._ckpt.save(self.version, self._state())
 
-    def restore_checkpoint(self) -> bool:
+    def import_buffer(self, workdir: str, step: Optional[int] = None) -> int:
+        """Seed this run's replay buffer from another run's checkpoint.
+
+        The reference preloads a standalone buffer pickle into a fresh run
+        (main.py:129, replay_buffer.py:57-65) — e.g. to train a different
+        model family on the same collected data (mode 4, main.py:212-231).
+        Copies the most recent ``min(src_size, capacity)`` rows; the source
+        run's env geometry must match.  Returns rows imported.
+        """
+        from alphazero_tpu.utils.checkpoint import CheckpointManager
+        src = CheckpointManager(f"{workdir}/checkpoints").restore_raw(step)
+        if src is None:
+            raise FileNotFoundError(f"no checkpoint under {workdir}")
+        b = src["buffer"]
+        obs = np.asarray(b["obs"])
+        policy = np.asarray(b["policy"])
+        length = np.asarray(b["length"])
+        winner = np.asarray(b["winner"])
+        if obs.shape[1:] != tuple(self.buffer.obs.shape[1:]):
+            raise ValueError(
+                f"buffer geometry mismatch: source blocks {obs.shape[1:]}, "
+                f"this env needs {tuple(self.buffer.obs.shape[1:])}")
+        size, cursor, cap_src = int(b["size"]), int(b["cursor"]), obs.shape[0]
+        k = min(size, self.buffer.capacity)
+        if size < cap_src:
+            idx = np.arange(size)[-k:]
+        else:  # ring full: oldest block is at the cursor
+            idx = (cursor - k + np.arange(k)) % cap_src
+        self.buffer = self.buffer.replace(
+            obs=self.buffer.obs.at[:k].set(jnp.asarray(obs[idx], jnp.int8)),
+            policy=self.buffer.policy.at[:k].set(
+                jnp.asarray(policy[idx], jnp.float32)),
+            length=self.buffer.length.at[:k].set(
+                jnp.asarray(length[idx], jnp.int32)),
+            winner=self.buffer.winner.at[:k].set(
+                jnp.asarray(winner[idx], jnp.int32)),
+            cursor=jnp.int32(k % self.buffer.capacity),
+            size=jnp.int32(k),
+        )
+        return k
+
+    def restore_checkpoint(self, step: Optional[int] = None) -> bool:
         if not self._ckpt:
             return False
-        restored = self._ckpt.restore(self._state())
+        restored = self._ckpt.restore(self._state(), step=step)
         if restored is None:
             return False
         self.params_best = restored["params_best"]

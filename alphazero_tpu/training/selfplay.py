@@ -19,7 +19,7 @@ from flax import struct
 
 from alphazero_tpu.config import MCTSConfig, ReplayConfig
 from alphazero_tpu.data.augment import Symmetries
-from alphazero_tpu.data.replay import ReplayBuffer, add_batch
+from alphazero_tpu.data.replay import ReplayBuffer, add_games
 from alphazero_tpu.envs.core import EnvState
 from alphazero_tpu.search.mcts import run_mcts
 
@@ -31,7 +31,6 @@ class SelfPlayState:
     env_state: EnvState      # batched (B,)
     traj_obs: jax.Array      # (B, L, F, R, C) int8 — canonical obs per move
     traj_policy: jax.Array   # (B, L, A) float32 — root visit distributions
-    traj_player: jax.Array   # (B, L) int32
     t: jax.Array             # (B,) int32 — moves played in current game
     rng: jax.Array
     games_done: jax.Array    # () int32 — completed games (cumulative)
@@ -47,7 +46,6 @@ def init_selfplay(env, batch_size: int, rng) -> SelfPlayState:
         env_state=states,
         traj_obs=jnp.zeros((B, L, env.feature_dim, env.rows, env.cols), jnp.int8),
         traj_policy=jnp.zeros((B, L, A), jnp.float32),
-        traj_player=jnp.zeros((B, L), jnp.int32),
         t=jnp.zeros((B,), jnp.int32),
         rng=rng,
         games_done=jnp.int32(0),
@@ -56,12 +54,38 @@ def init_selfplay(env, batch_size: int, rng) -> SelfPlayState:
     )
 
 
+def _record_and_flush(env, replay_cfg: ReplayConfig, syms: Symmetries,
+                      traj_obs, traj_policy, t, obs, policy, done_now,
+                      winner, buffer):
+    """Shared per-move trajectory bookkeeping: record the position at row
+    ``t`` of each game's slab (masked full-array writes — XLA lowers
+    per-game row scatters serially on TPU, a where-select streams at HBM
+    speed), then flush finished games' whole slabs as replay blocks (one
+    B-index block scatter; augmentation and value targets happen at sample
+    time, data/replay.py).  Returns (traj_obs, traj_policy, buffer)."""
+    B, L = traj_policy.shape[:2]
+    at_t = jnp.arange(L)[None, :] == t[:, None]               # (B, L)
+    traj_obs = jnp.where(at_t[:, :, None, None, None],
+                         obs[:, None], traj_obs)
+    traj_policy = jnp.where(at_t[:, :, None], policy[:, None], traj_policy)
+    buffer = add_games(buffer, traj_obs, traj_policy, t + 1, winner,
+                       done_now)
+    return traj_obs, traj_policy, buffer
+
+
+def _results_update(results, done_now, winner):
+    """W/L/D counters (the reference's game_results, train.py:58)."""
+    return (results + jnp.array([0, 0, 0], jnp.int32)
+            .at[0].add((done_now & (winner == 0)).sum())
+            .at[1].add((done_now & (winner == 1)).sum())
+            .at[2].add((done_now & (winner < 0)).sum()))
+
+
 def selfplay_step(env, eval_fn, mcts_cfg: MCTSConfig, replay_cfg: ReplayConfig,
                   syms: Symmetries, sp: SelfPlayState,
                   buffer: ReplayBuffer) -> Tuple[SelfPlayState, ReplayBuffer]:
     """One lockstep move for all B games (= B env steps)."""
     B = sp.t.shape[0]
-    L = sp.traj_obs.shape[1]
     rng, mcts_rng, act_rng = jax.random.split(sp.rng, 3)
     s = sp.env_state
 
@@ -70,16 +94,6 @@ def selfplay_step(env, eval_fn, mcts_cfg: MCTSConfig, replay_cfg: ReplayConfig,
                    s.done, mcts_rng, mcts_cfg)
 
     obs = jax.vmap(env.observation)(s).astype(jnp.int8)
-
-    # --- record position BEFORE the move (train.py:37, gomoku.py:138-140).
-    # Masked full-array writes: XLA lowers per-game row scatters serially
-    # on TPU (see ops/gather.py), a where-select streams at HBM speed.
-    at_t = jnp.arange(L)[None, :] == sp.t[:, None]            # (B, L)
-    traj_obs = jnp.where(at_t[:, :, None, None, None],
-                         obs[:, None], sp.traj_obs)
-    traj_policy = jnp.where(at_t[:, :, None], res.policy[:, None],
-                            sp.traj_policy)
-    traj_player = jnp.where(at_t, s.current_player[:, None], sp.traj_player)
 
     # --- temperature: visit-sample early moves, argmax later (gomoku.py:144)
     logits = jnp.where(res.visit_counts > 0,
@@ -92,28 +106,11 @@ def selfplay_step(env, eval_fn, mcts_cfg: MCTSConfig, replay_cfg: ReplayConfig,
     done_now = new_state.done
     winner = new_state.winner
 
-    # --- flush finished games through augmentation into the replay buffer
-    # value target: pure game outcome with parity alternation (train.py:33-36)
-    irange = jnp.arange(L)
-    played = irange[None, :] <= sp.t[:, None]              # (B, L) recorded rows
-    targets = jnp.where(
-        winner[:, None] < 0,
-        0.0,
-        jnp.where(traj_player == winner[:, None], 1.0, -1.0),
-    ).astype(jnp.float32)
-    flush = done_now[:, None] & played
-    flat_obs = traj_obs.reshape(B * L, *traj_obs.shape[2:])
-    flat_pol = traj_policy.reshape(B * L, -1)
-    flat_val = targets.reshape(B * L)
-    for s_idx in range(syms.num if replay_cfg.augment else 1):
-        if s_idx == 0:
-            m = flush
-        else:
-            # first `skip` moves of each game get only the identity row
-            # (empty/near-empty boards, train.py:39; SURVEY.md §2.4-9)
-            m = flush & (irange[None, :] >= replay_cfg.augment_skip_moves)
-        so, sp_pol = syms.apply(s_idx, flat_obs, flat_pol)
-        buffer = add_batch(buffer, so, sp_pol, flat_val, m.reshape(B * L))
+    # --- record position BEFORE the move (train.py:37, gomoku.py:138-140)
+    # + flush finished games into the replay buffer
+    traj_obs, traj_policy, buffer = _record_and_flush(
+        env, replay_cfg, syms, sp.traj_obs, sp.traj_policy,
+        sp.t, obs, res.policy, done_now, winner, buffer)
 
     # --- auto-reset finished games
     fresh = jax.vmap(lambda _: env.init())(jnp.arange(B))
@@ -128,15 +125,67 @@ def selfplay_step(env, eval_fn, mcts_cfg: MCTSConfig, replay_cfg: ReplayConfig,
         env_state=env_state,
         traj_obs=traj_obs,
         traj_policy=traj_policy,
-        traj_player=traj_player,
         t=jnp.where(done_now, 0, sp.t + 1),
         rng=rng,
         games_done=sp.games_done + done_now.sum(),
         env_steps=sp.env_steps + B,
-        results=sp.results + jnp.array([0, 0, 0], jnp.int32)
-            .at[0].add((winner == 0).sum())
-            .at[1].add((winner == 1).sum())
-            .at[2].add((done_now & (winner < 0)).sum()),
+        results=_results_update(sp.results, done_now, winner),
+    ), buffer
+
+
+def selfplay_chunk_fused(env, model, params, mcts_cfg: MCTSConfig,
+                         replay_cfg: ReplayConfig, syms: Symmetries,
+                         sp: SelfPlayState, buffer: ReplayBuffer,
+                         num_steps: int, interpret: bool = False
+                         ) -> Tuple[SelfPlayState, ReplayBuffer]:
+    """``num_steps`` lockstep moves in ONE whole-chunk Pallas kernel
+    (search/pallas_fused.py:_chunk_kernel): root eval, search, action
+    selection, env stepping and auto-reset all run on-core; this wrapper
+    folds the kernel's per-move records into the trajectory slabs and
+    replay buffer (identical bookkeeping to the per-move path via
+    _record_and_flush)."""
+    from alphazero_tpu.envs.core import EnvState
+    from alphazero_tpu.search.pallas_fused import run_selfplay_chunk_fused
+
+    B = sp.t.shape[0]
+    M = num_steps
+    rng, krng = jax.random.split(sp.rng)
+    # invariant of both runners: entering a step, every game is live
+    # (finished games were reset by the previous step)
+    rec = run_selfplay_chunk_fused(
+        env, model, params, sp.env_state.board, sp.env_state.current_player,
+        sp.env_state.move_count, krng, mcts_cfg, M, interpret=interpret)
+
+    def mbody(carry, r):
+        traj_obs, traj_policy, buffer = carry
+        traj_obs, traj_policy, buffer = _record_and_flush(
+            env, replay_cfg, syms, traj_obs, traj_policy,
+            r["t"], r["obs"], r["policy"], r["done"], r["winner"], buffer)
+        return (traj_obs, traj_policy, buffer), None
+
+    xs = {k: rec[k] for k in ("t", "obs", "policy", "done", "winner")}
+    (traj_obs, traj_policy, buffer), _ = jax.lax.scan(
+        mbody, (sp.traj_obs, sp.traj_policy, buffer), xs)
+
+    env_state = EnvState(
+        board=rec["board"],
+        current_player=rec["player_final"],
+        move_count=rec["mc_final"],
+        winner=jnp.full((B,), -1, jnp.int32),
+        done=jnp.zeros((B,), jnp.bool_),
+    )
+    results = sp.results
+    for m in range(M):
+        results = _results_update(results, rec["done"][m], rec["winner"][m])
+    return sp.replace(
+        env_state=env_state,
+        traj_obs=traj_obs,
+        traj_policy=traj_policy,
+        t=rec["mc_final"],
+        rng=rng,
+        games_done=sp.games_done + rec["done"].sum(),
+        env_steps=sp.env_steps + M * B,
+        results=results,
     ), buffer
 
 
@@ -146,22 +195,27 @@ def make_selfplay_runner(env, model, mcts_cfg: MCTSConfig,
     """Build a jitted runner advancing all games ``num_steps`` moves:
     ``runner(params, sp, buffer) -> (sp, buffer)``.
 
-    Leaf evaluation uses the flax forward.  The fused Pallas tower
-    (ops/pallas_resnet.py) is numerically verified but currently disabled:
-    its Mosaic compile exceeds 10 minutes through this environment's
-    remote-compile service (tracked for a future round)."""
+    Fast path (dense model family on TPU): ALL ``num_steps`` moves run in
+    one whole-chunk Pallas kernel (search/pallas_fused.py:_chunk_kernel) —
+    root evals, searches, env steps and resets never leave the core.
+    Otherwise each move runs a batched search (Pallas or XLA engine via
+    run_mcts) with flax leaf evaluation, scanned ``num_steps`` times."""
     syms = Symmetries(env)
-    fused_apply = None
 
     from alphazero_tpu.models.dense import DenseTower
+    from alphazero_tpu.search.pallas_fused import supports_selfplay_fused
 
     def run(params, sp: SelfPlayState, buffer: ReplayBuffer):
+        B = sp.t.shape[0]
+        if (isinstance(model, DenseTower)
+                and supports_selfplay_fused(env, B, mcts_cfg, model)):
+            return selfplay_chunk_fused(env, model, params, mcts_cfg,
+                                        replay_cfg, syms, sp, buffer,
+                                        num_steps)
+
         def eval_fn(obs):
-            if fused_apply is not None:
-                logits, value = fused_apply(params, obs)
-            else:
-                logits, value = model.apply({"params": params}, obs,
-                                            deterministic=True)
+            logits, value = model.apply({"params": params}, obs,
+                                        deterministic=True)
             return jax.nn.softmax(logits, axis=-1), value
 
         if isinstance(model, DenseTower):

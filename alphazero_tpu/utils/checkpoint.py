@@ -38,5 +38,15 @@ class CheckpointManager:
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_like)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
+    def restore_raw(self, step: Optional[int] = None) -> Any:
+        """Restore a checkpoint as saved, without a target structure —
+        for cross-run imports (e.g. seeding a new run's replay buffer from
+        another run's checkpoint, the reference's buffer-preload workflow,
+        main.py:129)."""
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            return None
+        return self._mgr.restore(step)
+
     def close(self):
         self._mgr.close()

@@ -1,25 +1,54 @@
-"""Headline benchmark: connect4 self-play throughput on one chip.
+"""Benchmarks: self-play throughput for every BASELINE.json config.
 
-BASELINE.json config: "connect4 self-play: MCTS 200 sims/move, batched 512
-parallel games".  Measures env-steps/s (one env step = one completed move of
-one game, each costing a full 200-simulation batched MCTS) on the default
-JAX device and prints ONE JSON line.
+Prints one JSON line per benchmark config (tictactoe, connect4,
+connect4-resnet, gomoku9, gomoku15) with env-steps/s, sims/s and model
+FLOP/s, then the HEADLINE line last — connect4 self-play (MCTS 200
+sims/move, 512 parallel games), the driver-parsed metric:
 
-Target (north star): 100,000 env-steps/s per TPU v5e chip.
+  {"metric": "connect4_selfplay_env_steps_per_s", "value": N, ...}
+
+Target (north star): 100,000 env-steps/s per TPU v5e chip (BASELINE.md).
+A wall-clock budget (AZ_BENCH_BUDGET_S, default 900) guards the secondary
+configs: whatever doesn't fit is reported as skipped, and the headline is
+always printed (it runs first).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 
 
-def main():
-    from alphazero_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
+def _model_flops_per_pos(cfg, env) -> float:
+    """Rough forward FLOPs per position (matmul/conv MACs × 2)."""
+    m = cfg.model
+    RC = env.rows * env.cols
+    if m.family == "dense":
+        lines = 0
+        from alphazero_tpu.envs.core import _make_line_matrix
+        L = _make_line_matrix(env.rows, env.cols, env.win_len).shape[1]
+        d_in = env.feature_dim * RC + 2 * L
+        f = d_in * m.width + 2 * m.blocks * m.width * m.width \
+            + m.width * (env.action_dim + m.width // 4)
+        return 2.0 * f
+    if m.family == "resnet":
+        f = 9 * env.feature_dim * m.channels * RC \
+            + m.blocks * 2 * 9 * m.channels * m.channels * RC \
+            + 2 * m.channels * RC + 32 * RC
+        return 2.0 * f
+    # vit
+    E, D = m.embed_dim, m.depth
+    T = RC + 1
+    f = (m.patch_size ** 2) * env.feature_dim * E * RC \
+        + D * (4 * E * E * T + 2 * T * T * E + 8 * E * E * T)
+    return 2.0 * f
 
+
+def bench_config(name: str, steps_per_chunk: int, chunks: int,
+                 batch_override=None):
     from alphazero_tpu.config import preset
     from alphazero_tpu.data import create
     from alphazero_tpu.envs import make_env
@@ -27,37 +56,82 @@ def main():
     from alphazero_tpu.training.selfplay import (init_selfplay,
                                                  make_selfplay_runner)
 
-    cfg = preset("connect4")
+    cfg = preset(name)
     env = make_env(cfg.env)
     model = build_model(cfg.model, env)
     params = init_params(model, env, jax.random.PRNGKey(0))
 
-    B = cfg.train.selfplay_batch          # 512 parallel games
-    steps_per_chunk = 8
+    B = batch_override or cfg.train.selfplay_batch
     runner = make_selfplay_runner(env, model, cfg.mcts, cfg.replay,
                                   num_steps=steps_per_chunk, donate=False)
     sp = init_selfplay(env, B, jax.random.PRNGKey(1))
     buffer = create(env, cfg.replay.capacity)
 
-    # warmup / compile
+    # warmup / compile.  NOTE: timing must end with a HOST FETCH — through
+    # this environment's IFRT proxy, block_until_ready returns before
+    # remote execution completes; int() forces a value round-trip.
     sp, buffer = runner(params, sp, buffer)
-    jax.block_until_ready(sp.env_steps)
+    int(sp.games_done)
 
-    chunks = 6
     t0 = time.perf_counter()
     for _ in range(chunks):
         sp, buffer = runner(params, sp, buffer)
-    jax.block_until_ready(sp.env_steps)
+    int(sp.games_done)
     dt = time.perf_counter() - t0
 
     env_steps = chunks * steps_per_chunk * B
     steps_per_s = env_steps / dt
+    flops = _model_flops_per_pos(cfg, env)
+    sims_per_s = steps_per_s * cfg.mcts.num_simulations
+    return {
+        "config": name,
+        "env_steps_per_s": round(steps_per_s, 1),
+        "sims_per_s": round(sims_per_s, 1),
+        "batch": B,
+        "sims_per_move": cfg.mcts.num_simulations,
+        "model_tflops_per_s": round(sims_per_s * flops / 1e12, 2),
+        "seconds": round(dt, 2),
+    }
+
+
+def main():
+    from alphazero_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    budget = float(os.environ.get("AZ_BENCH_BUDGET_S", "900"))
+    only = os.environ.get("AZ_BENCH_CONFIGS")  # comma-separated subset
+    t_start = time.perf_counter()
+
+    # headline FIRST so it is always measured within the budget
+    headline = bench_config("connect4", steps_per_chunk=8, chunks=6)
+    print(json.dumps(headline), flush=True)
+
+    secondary = [
+        ("tictactoe", 8, 6),
+        ("connect4-resnet", 8, 3),
+        ("gomoku9", 2, 2),
+        ("gomoku15", 1, 2),
+    ]
+    for name, spc, chunks in secondary:
+        if only and name not in only.split(","):
+            continue
+        if time.perf_counter() - t_start > budget:
+            print(json.dumps({"config": name, "skipped": "budget"}),
+                  flush=True)
+            continue
+        try:
+            print(json.dumps(bench_config(name, spc, chunks)), flush=True)
+        except Exception as e:  # record the failure, keep the headline
+            print(json.dumps({"config": name,
+                              "error": f"{type(e).__name__}: {e}"[:200]}),
+                  flush=True)
+
     baseline = 100_000.0  # north-star target, BASELINE.json
     print(json.dumps({
         "metric": "connect4_selfplay_env_steps_per_s",
-        "value": round(steps_per_s, 1),
+        "value": headline["env_steps_per_s"],
         "unit": "env_steps/s",
-        "vs_baseline": round(steps_per_s / baseline, 4),
+        "vs_baseline": round(headline["env_steps_per_s"] / baseline, 4),
     }))
 
 

@@ -94,3 +94,30 @@ def test_distributed_initialize_noop():
     assert initialize() is False
     info = process_info()
     assert info["process_count"] == 1 and info["global_devices"] >= 1
+
+
+def test_buffer_import_and_checkpoint_eval(tmp_path):
+    """Cross-run buffer seeding (reference preload, main.py:129) and
+    version-vs-version restore (reference eval mode, main.py:181-197)."""
+    cfg = _tiny_cfg()
+    tr = Trainer(cfg, workdir=str(tmp_path / "a"))
+    tr.iterate(vanilla_eval=False)
+    assert tr.version >= 0
+    tr.save_checkpoint()
+    src_size = int(tr.buffer.size)
+    assert src_size > 0
+
+    # fresh run seeds its buffer from run a's checkpoint
+    tr2 = Trainer(cfg, workdir=str(tmp_path / "b"))
+    n = tr2.import_buffer(str(tmp_path / "a"))
+    assert n == min(src_size, tr2.buffer.capacity)
+    assert int(tr2.buffer.size) == n
+    # imported rows can train (reference mode 4: train-only on a preloaded
+    # buffer, main.py:212-231)
+    m = tr2.train_epoch()
+    assert np.isfinite(m["loss"])
+
+    # restore a specific version into a third trainer (eval --vs checkpoint)
+    tr3 = Trainer(cfg, workdir=str(tmp_path / "a"))
+    assert tr3.restore_checkpoint(step=tr.version)
+    assert tr3.version == tr.version

@@ -33,14 +33,17 @@ def _np_eval(Wp, wv):
     return f
 
 
-def _jax_eval(Wp, wv):
+def _jax_eval(Wp, wv, dtype=jnp.float32):
+    """NN stub evaluator.  ``dtype`` must be explicit: requesting float64
+    outside a ``jax.enable_x64`` scope would silently truncate to f32
+    (and warn) — callers pass float64 only inside that scope."""
     jWp, jwv = jnp.asarray(Wp), jnp.asarray(wv)
 
     def f(obs):  # (B, F, R, C)
-        x = obs.reshape(obs.shape[0], -1).astype(jnp.float64)
-        logits = x @ jWp
+        x = obs.reshape(obs.shape[0], -1).astype(dtype)
+        logits = x @ jWp.astype(dtype)
         probs = jnp.exp(logits) / jnp.sum(jnp.exp(logits), axis=-1, keepdims=True)
-        return probs, jnp.tanh(x @ jwv)
+        return probs, jnp.tanh(x @ jwv.astype(dtype))
     return f
 
 
@@ -82,7 +85,7 @@ def test_visit_distribution_parity(name):
                      use_dirichlet=False)
     with jax.enable_x64(True):
         res = run_mcts(
-            env, _jax_eval(Wp, wv),
+            env, _jax_eval(Wp, wv, dtype=jnp.float64),
             jnp.asarray(boards), jnp.asarray(players), jnp.asarray(mcs),
             jnp.zeros(len(positions), jnp.bool_),
             jax.random.PRNGKey(0), cfg, value_dtype=jnp.float64,

@@ -147,3 +147,167 @@ def test_fused_done_games_masked():
     counts = np.asarray(got.visit_counts)
     assert counts[0].sum() == 29
     assert counts[1].sum() == 0
+
+
+# --------------------------------------------------------------------------
+# multi-move self-play chunk kernel
+# --------------------------------------------------------------------------
+
+def _exact_stub_forwards(env):
+    """A pair of evaluators (in-kernel stub, XLA eval_fn) computing the SAME
+    function with exact float arithmetic: per-action scores are 1 + small
+    integer stone counts (sums of 0/1 are exact in f32 in any reduction
+    order), so both engines see bitwise-identical priors/values and the
+    whole search + move pipeline must agree bitwise (VERDICT r1 #5)."""
+    F, RC = env.feature_dim, env.rows * env.cols
+    A = env.action_dim
+    n = F * RC
+    groups = np.stack([(np.arange(n) % A == a).astype(np.float32)
+                       for a in range(A)])                  # (A, n)
+
+    def kernel_stub(env_, model, wrefs, obs, W_lines):
+        # obs (F·RC, B) of 0/1 values; group masks built in-kernel (pallas
+        # kernels cannot capture array constants)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (n, obs.shape[1]), 0)
+        mod = ids - A * (ids // A)
+        rows = []
+        tot = jnp.sum(obs, axis=0, keepdims=True)          # (1, B) ints
+        for a in range(A):
+            g = (mod == a).astype(jnp.float32)
+            rows.append(1.0 + jnp.sum(obs * g, axis=0, keepdims=True))
+        w = jnp.concatenate(rows, axis=0)                  # (A, B) ints
+        probs = w / jnp.sum(w, axis=0, keepdims=True)
+        value = (tot - 5.0 * jnp.floor(tot / 5.0) - 2.0) / 4.0
+        return probs, value
+
+    def xla_eval(obs):                                      # (B, F, R, C)
+        x = obs.reshape(obs.shape[0], -1)
+        w = 1.0 + x @ jnp.asarray(groups.T)                 # (B, A) ints
+        probs = w / jnp.sum(w, axis=-1, keepdims=True)
+        tot = jnp.sum(x, axis=-1)
+        value = (tot - 5.0 * jnp.floor(tot / 5.0) - 2.0) / 4.0
+        return probs, value
+
+    return kernel_stub, xla_eval
+
+
+def test_chunk_kernel_trajectory_bitwise_vs_xla_engine(monkeypatch):
+    """The whole-chunk self-play kernel (M moves: root eval → search →
+    greedy action → env step → reset, search/pallas_fused.py:_chunk_kernel)
+    reproduces the XLA engine's per-move trajectory BITWISE under an exact
+    stub evaluator: policies, actions, observations, terminals, boards."""
+    import alphazero_tpu.search.pallas_fused as F
+
+    env = make_env("connect4")
+    model = build_model(ModelConfig(family="dense", width=64, blocks=1), env)
+    params = init_params(model, env, jax.random.PRNGKey(0))
+    kernel_stub, xla_eval = _exact_stub_forwards(env)
+    monkeypatch.setattr(F, "_dense_forward", kernel_stub)
+
+    cfg = MCTSConfig(num_simulations=24, temperature_moves=0,
+                     use_dirichlet=False)
+    B, M = 4, 10
+    from tests.oracles.games import make_oracle
+    oracle = make_oracle("connect4")
+    b0 = oracle.new_board()
+    # game 1 starts one move from a win for player 0 (cols 0-2 bottom row)
+    b1 = oracle.new_board()
+    for c in range(3):
+        oracle.place(b1, 0, c)
+        oracle.place(b1, 1, c)
+    boards = np.stack([b0, b1, b0, b1])
+    players = np.array([0, 0, 1, 0], np.int32)
+    mcs = np.array([0, 6, 0, 6], np.int32)
+
+    rec = F.run_selfplay_chunk_fused(
+        env, model, params, jnp.asarray(boards), jnp.asarray(players),
+        jnp.asarray(mcs), jax.random.PRNGKey(7), cfg, M, interpret=True)
+    rec = jax.tree.map(np.asarray, rec)
+
+    # reference: the XLA engine, one move at a time
+    import jax.numpy as jnp_
+    from alphazero_tpu.envs.core import EnvState
+    cur_b, cur_p, cur_mc = (jnp.asarray(boards), jnp.asarray(players),
+                            jnp.asarray(mcs))
+    for m in range(M):
+        res = run_mcts(env, xla_eval, cur_b, cur_p, cur_mc,
+                       jnp.zeros(B, bool), jax.random.PRNGKey(0), cfg,
+                       backend="xla")
+        counts = np.asarray(res.visit_counts)
+        policy = counts / np.maximum(counts.sum(-1, keepdims=True), 1)
+        np.testing.assert_array_equal(policy.astype(np.float32),
+                                      rec["policy"][m], err_msg=f"move {m}")
+        action = counts.argmax(-1).astype(np.int32)        # greedy (temp 0)
+        np.testing.assert_array_equal(action, rec["action"][m],
+                                      err_msg=f"move {m}")
+        obs = np.asarray(jax.vmap(env.observation_from_board)(cur_b, cur_p))
+        np.testing.assert_array_equal(obs.astype(np.int8), rec["obs"][m])
+        np.testing.assert_array_equal(np.asarray(cur_p), rec["player"][m])
+        np.testing.assert_array_equal(np.asarray(cur_mc), rec["t"][m])
+
+        states = EnvState(board=cur_b, current_player=cur_p,
+                          move_count=cur_mc,
+                          winner=jnp_.full((B,), -1, jnp_.int32),
+                          done=jnp_.zeros((B,), bool))
+        new = jax.vmap(env.step)(states, jnp.asarray(action))
+        np.testing.assert_array_equal(np.asarray(new.done), rec["done"][m])
+        np.testing.assert_array_equal(
+            np.asarray(jnp_.where(new.done, new.winner, -1)),
+            rec["winner"][m])
+        # auto-reset
+        done = np.asarray(new.done)
+        cur_b = jnp.asarray(np.where(done[:, None, None, None], 0,
+                                     np.asarray(new.board)).astype(np.int8))
+        cur_p = jnp.asarray(np.where(done, 0, np.asarray(new.current_player))
+                            .astype(np.int32))
+        cur_mc = jnp.asarray(np.where(done, 0, np.asarray(new.move_count))
+                             .astype(np.int32))
+
+    np.testing.assert_array_equal(np.asarray(cur_b), rec["board"])
+    np.testing.assert_array_equal(np.asarray(cur_p), rec["player_final"])
+    np.testing.assert_array_equal(np.asarray(cur_mc), rec["mc_final"])
+    # at least one game must have finished and reset within the chunk
+    assert rec["done"].any()
+
+
+def test_chunk_runner_matches_stepwise_bookkeeping():
+    """selfplay_chunk_fused's slab/buffer/counter bookkeeping is consistent:
+    buffer rows, games_done, results and trajectory slabs line up with the
+    kernel records."""
+    from alphazero_tpu.config import ReplayConfig
+    from alphazero_tpu.data import create
+    from alphazero_tpu.data.augment import Symmetries
+    from alphazero_tpu.training.selfplay import (init_selfplay,
+                                                 selfplay_chunk_fused)
+
+    env = make_env("connect4")
+    model = build_model(ModelConfig(family="dense", width=64, blocks=1), env)
+    params = init_params(model, env, jax.random.PRNGKey(0))
+    cfg = MCTSConfig(num_simulations=16, temperature_moves=2,
+                     dirichlet_alpha=0.3)
+    rcfg = ReplayConfig(capacity=4096)
+    syms = Symmetries(env)
+    B, M = 8, 12
+    sp = init_selfplay(env, B, jax.random.PRNGKey(1))
+    buffer = create(env, rcfg.capacity)
+    for _ in range(3):
+        sp, buffer = selfplay_chunk_fused(env, model, params, cfg, rcfg,
+                                          syms, sp, buffer, M,
+                                          interpret=True)
+    assert int(sp.env_steps) == 3 * M * B
+    gd = int(sp.games_done)
+    assert gd > 0
+    res = np.asarray(sp.results)
+    assert res.sum() == gd
+    # every finished game flushed one replay block with ≥ 7 moves
+    # (connect4's shortest decided game)
+    assert int(buffer.size) == min(gd, buffer.capacity)
+    lens = np.asarray(buffer.length[:int(buffer.size)])
+    assert (lens >= 7).all()
+    # slab policies of recorded rows are distributions
+    t = np.asarray(sp.t)
+    pol = np.asarray(sp.traj_policy)
+    for b in range(B):
+        if t[b] > 0:
+            s = pol[b, :t[b]].sum(-1)
+            np.testing.assert_allclose(s, 1.0, atol=1e-5)

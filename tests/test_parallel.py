@@ -59,7 +59,9 @@ def test_super_step_runs_sharded(family, n_model):
         params, sp, buffer, jax.random.PRNGKey(2)
     )
     assert int(sp2.env_steps) == 10 * cfg.train.selfplay_batch
-    assert int(buffer2.size) > 0
+    # buffer is sharded: one ring per data shard, each locally written
+    assert buffer2.size.shape == (8 // n_model,)
+    assert int(np.sum(buffer2.size)) > 0
     assert np.isfinite(float(metrics.loss))
     # params actually updated
     moved = any(
@@ -120,3 +122,44 @@ def test_data_parallel_gradients_match_single_device():
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_dp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_checkpoint_roundtrip_under_sharding(tmp_path):
+    """Orbax save/restore of sharded state (params replicated, buffer
+    sharded over 'data') restores bit-identical content with the same
+    shardings (VERDICT r1 #10: restore-under-sharding)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from alphazero_tpu.data import add_games, create_sharded
+    from alphazero_tpu.utils.checkpoint import CheckpointManager
+
+    env = make_env("tictactoe")
+    mesh = make_mesh(n_data=8, n_model=1)
+    S = 8
+    L = env.max_moves
+    buf = create_sharded(env, capacity=64 * L, num_shards=S)
+    n = 16
+    obs = jnp.zeros((n, L, env.feature_dim, env.rows, env.cols), jnp.int8)
+    obs = obs.at[:, :, 0, 0, 0].set(jnp.arange(n)[:, None].astype(jnp.int8))
+    buf = add_games(buf, obs, jnp.ones((n, L, 9), jnp.float32) / 9,
+                    jnp.full((n,), L, jnp.int32),
+                    jnp.zeros((n,), jnp.int32), jnp.ones((n,), bool))
+    buf_sh = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), buf)
+
+    cfg = _cfg("resnet")
+    model = build_model(cfg.model, env)
+    params = jax.device_put(init_params(model, env, jax.random.PRNGKey(0)),
+                            NamedSharding(mesh, P()))
+    state = {"params": params, "buffer": buf_sh,
+             "rng": jax.random.PRNGKey(3)}
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state)
+    restored = mgr.restore(state, step=1)
+
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # shardings survive the roundtrip
+    assert restored["buffer"].length.sharding.spec == P("data")
+    mgr.close()
