@@ -52,7 +52,7 @@ def supports_fused(env, batch: int, cfg: MCTSConfig, model) -> bool:
         return False
     N = cfg.num_simulations + 1
     A = env.action_dim
-    tree_bytes = (3 + 2 * A) * N * batch * 4
+    tree_bytes = (2 + A) * N * batch * 4   # visit+val + packed edges
     weight_bytes = 2 * (model.width * model.width * 2 * model.blocks
                         + model.width * 600)
     act_bytes = 8 * model.width * batch * 4
@@ -98,6 +98,13 @@ def _pack_dense_params(model, params):
     ws.append(wT(params["value_head"]))                       # f32 (1, D/4)
     ws.append(b2(params["value_head"], 1))
     return ws
+
+
+def _qfrac(p):
+    """Quantize a prior ``p`` ∈ [0,1] to the packed fraction
+    ``round(p·2¹⁴)·2⁻¹⁵`` ∈ [0, 0.5] — exactly representable in f32 next
+    to integer parts < 256 (see pallas_mcts._descend packed mode)."""
+    return jnp.floor(p * 16384.0 + 0.5) * (1.0 / 32768.0)
 
 
 def _ln(h, scale, bias, eps=1e-6):
@@ -152,9 +159,86 @@ def _dense_forward(env, model, wrefs, obs, W_lines):
     return probs, value
 
 
+def _dense_forward_2x(env, model, wrefs, obs, W_lines):
+    """_dense_forward with the batch split into two lane halves and the
+    halves' stage chains INTERLEAVED.
+
+    The forward is a dependent chain mm → LN/act (VPU) → mm → …; with
+    in-order issue the VPU stalls on every matmul, so MXU and VPU
+    serialize.  Alternating the halves' stages puts one half's VPU stage
+    between the other half's matmul issue and its consumer — the matmul
+    executes under the VPU work (measured: independent MXU/VPU chains
+    overlap perfectly, scripts/prof_overlap.py).  Lanes never mix in any
+    op, so per half the values are bitwise-identical to _dense_forward.
+    """
+    RC = env.rows * env.cols
+    B = obs.shape[1]
+    H = B // 2
+    ws = [w[:] for w in wrefs]
+    nb = model.blocks
+
+    def prep(o):
+        mine = o[0:RC]
+        theirs = o[RC:2 * RC]
+        lm = jnp.dot(W_lines.T, mine, preferred_element_type=jnp.float32)
+        lt = jnp.dot(W_lines.T, theirs, preferred_element_type=jnp.float32)
+        return jnp.concatenate(
+            [o, lm / env.win_len, lt / env.win_len], axis=0)
+
+    # weight unpack (layout: _pack_dense_params)
+    Wst, bst = ws[0], ws[1]
+    blk = [ws[2 + 6 * k: 8 + 6 * k] for k in range(nb)]  # s, b, W1, b1, W2, b2
+    sf, bf, Wpol, bpol, Wvfc, bvfc, Wvh, bvh = ws[2 + 6 * nb:]
+
+    def step(st, si):
+        """One (VPU chunk → MXU issue) stage of a single half."""
+        if si == 0:
+            st["p"] = _mm(Wst, prep(st["x"]))
+        elif si <= 2 * nb:
+            k, phase = divmod(si - 1, 2)
+            s, b, W1, b1, W2, b2 = blk[k]
+            if phase == 0:   # vpu: finish residual, LN; mxu: fc1
+                st["h"] = (st["p"] + bst if k == 0
+                           else st["h"] + st["p"] + blk[k - 1][5])
+                st["p"] = _mm(W1, _ln(st["h"], s, b))
+            else:            # vpu: relu; mxu: fc2
+                st["p"] = _mm(W2, jnp.maximum(st["p"] + b1, 0.0))
+        elif si == 2 * nb + 1:   # final ln; policy + value_fc matmuls
+            st["h"] = _ln(st["h"] + st["p"] + blk[nb - 1][5], sf, bf)
+            st["pl"] = jnp.dot(Wpol, st["h"],
+                               preferred_element_type=jnp.float32)
+            st["p"] = _mm(Wvfc, st["h"])
+        elif si == 2 * nb + 2:   # value hidden relu; value head matmul
+            st["p"] = jnp.dot(Wvh, jnp.maximum(st["p"] + bvfc, 0.0),
+                              preferred_element_type=jnp.float32)
+        else:                    # softmax + tanh (pure VPU)
+            logits = st["pl"] + bpol
+            m = jnp.max(logits, axis=0, keepdims=True)
+            e = jnp.exp(logits - m)
+            st["probs"] = e / jnp.sum(e, axis=0, keepdims=True)
+            st["value"] = jnp.tanh(st["p"] + bvh)
+
+    a = {"x": obs[:, :H]}
+    b = {"x": obs[:, H:]}
+    for si in range(2 * nb + 4):
+        step(a, si)
+        step(b, si)
+    probs = jnp.concatenate([a["probs"], b["probs"]], axis=1)
+    value = jnp.concatenate([a["value"], b["value"]], axis=1)
+    return probs, value
+
+
+def _leaf_eval(env, model, wrefs, obs, W_lines):
+    """Leaf/root evaluation dispatch: interleaved two-half forward when the
+    lane count splits into 128-lane halves, else the plain chain.  Tests
+    monkeypatch THIS hook to stub the network."""
+    if obs.shape[1] % 256 == 0:
+        return _dense_forward_2x(env, model, wrefs, obs, W_lines)
+    return _dense_forward(env, model, wrefs, obs, W_lines)
+
 def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
                    W_ref, aux_ref, get_board, rootp, rootmc,
-                   visit_s, val_s, prior_s, children_s,
+                   visit_s, val_s, pc_s,
                    path_s, apath_s):
     """Simulations 1..S-1 on an already-initialized tree (root expanded).
 
@@ -162,9 +246,10 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
     multi-move self-play kernel (root eval in-kernel).  ``get_board()``
     returns the CURRENT root planes ``(p0, p1) (RC, B)`` f32.
 
-    ``visit_s`` is ENC-coded ``visit + 0.5·expanded`` (exact in f32) — one
-    array instead of two cuts the dominant per-action gather passes of the
-    descent from 3 to 2 (see pallas_mcts._descend enc mode).
+    ``visit_s`` is ENC-coded ``visit + 0.5·expanded`` and ``pc_s`` is the
+    PACKED ``(child_id+2)+prior_frac`` edge array (both exact in f32) —
+    together they cut the per-step gather passes of the descent from 4
+    arrays to 2 (see pallas_mcts._descend enc/packed modes).
     """
     A = env.action_dim
     N, B = visit_s.shape
@@ -189,7 +274,7 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
                 h0 = jnp.zeros((1, B), jnp.float32)
             depth, parent, action, chsel, p0, p1, heights = _descend(
                 env, cfg, Nc, A, B, dcap, visit, val, None,
-                prior_s[:, 0:Nc, :], children_s[:, 0:Nc, :], path_s,
+                pc_s[:, 0:Nc, :], None, path_s,
                 apath_s, board=(p0_r, p1_r, h0, rootp))
             root_case = (parent < 0).astype(jnp.float32)
             alloc = ((parent >= 0) & (chsel < 0)).astype(jnp.float32)
@@ -198,18 +283,21 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
                 env, B, W_ref, aux_ref, rootp, rootmc, depth, root_case,
                 chsel, slot, alloc, p0, p1, heights)
 
-            probs, value = _dense_forward(env, model, wrefs, obs, W_ref[:])
+            probs, value = _leaf_eval(env, model, wrefs, obs, W_ref[:])
 
-            # ---- expansion
+            # ---- expansion (packed edges: see _apply_sim)
             do_expand = (alloc > 0) & (terminal == 0)
-            prior_s[:, pl.ds(slot, 1), :] = jnp.where(
-                do_expand & (valid > 0), probs, NEG)[:, None, :]
+            pc_s[:, pl.ds(slot, 1), :] = jnp.where(
+                do_expand & (valid > 0), 1.0 + _qfrac(probs),
+                0.0)[:, None, :]
             ohp = (_iota(Nc, B) == jnp.where(alloc > 0, parent, Nc)) \
                 .astype(jnp.float32)
             oha = (_iota(A, B) == action).astype(jnp.float32)
             edge = ohp[None] * oha[:, None, :]
-            children_s[:, 0:Nc, :] = jnp.where(
-                edge > 0, slot.astype(jnp.float32), children_s[:, 0:Nc, :])
+            pc_w = pc_s[:, 0:Nc, :]
+            pc_s[:, 0:Nc, :] = jnp.where(
+                edge > 0, (slot.astype(jnp.float32) + 2.0)
+                + (pc_w - jnp.floor(pc_w)), pc_w)
 
             # ---- backup (ai/node.py:62-74 semantics); the leaf ply adds
             # 1 + 0.5·expand into the enc array, interior plies add 1
@@ -251,13 +339,153 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
         lo = hi
 
 
-def _root_counts(env, visit_s, children_s, val_s):
+def _descend_leaf(env, cfg, model, dcap, W_ref, aux_ref, get_board, rootp,
+                  rootmc, visit_s, val_s, pc_s, path_s,
+                  apath_s, Nc, slot):
+    """Descend + leaf machinery of one simulation (no tree writes except
+    path/apath); returns the pending leaf state for a later apply.
+    ``pc_s`` is the PACKED (child_id+2)+prior_frac edge array."""
+    A = env.action_dim
+    B = visit_s.shape[1]
+    p0_r, p1_r = get_board()
+    if env.name == "connect4":
+        h0 = jnp.dot(aux_ref[:], p0_r + p1_r,
+                     preferred_element_type=jnp.float32)
+    else:
+        h0 = jnp.zeros((1, B), jnp.float32)
+    depth, parent, action, chsel, p0, p1, heights = _descend(
+        env, cfg, Nc, A, B, dcap, visit_s[0:Nc, :], val_s[0:Nc, :], None,
+        pc_s[:, 0:Nc, :], None, path_s, apath_s,
+        board=(p0_r, p1_r, h0, rootp))
+    root_case = (parent < 0).astype(jnp.float32)
+    alloc = ((parent >= 0) & (chsel < 0)).astype(jnp.float32)
+    leaf, terminal, tval, obs, valid = _leaf_finish(
+        env, B, W_ref, aux_ref, rootp, rootmc, depth, root_case,
+        chsel, slot, alloc, p0, p1, heights)
+    # everything here rides a fori_loop carry — Mosaic cannot legalize
+    # bool (i1) vectors in scf.for carries, so keep fields f32/i32
+    return dict(obs=obs, valid=valid, depth=depth, parent=parent,
+                action=action, alloc=alloc, leaf=leaf,
+                terminal=terminal.astype(jnp.float32), tval=tval)
+
+
+def _apply_sim(env, dcap, visit_s, val_s, pc_s, path_s,
+               Nc, slot, pend, probs, value):
+    """Expansion + backup of a completed simulation (enc-coded visit,
+    packed prior+children edges)."""
+    A = env.action_dim
+    B = visit_s.shape[1]
+    alloc, depth, leaf = pend["alloc"], pend["depth"], pend["leaf"]
+    terminal, tval = pend["terminal"], pend["tval"]
+    do_expand = (alloc > 0) & (terminal == 0)
+    # expansion: new node's edge row = 1 (no child) + quantized prior;
+    # illegal actions = 0
+    pc_s[:, pl.ds(slot, 1), :] = jnp.where(
+        do_expand & (pend["valid"] > 0), 1.0 + _qfrac(probs),
+        0.0)[:, None, :]
+    # parent edge now points at the slot: integer part becomes slot+2,
+    # the quantized prior fraction is preserved
+    ohp = (_iota(Nc, B) == jnp.where(alloc > 0, pend["parent"], Nc)) \
+        .astype(jnp.float32)
+    oha = (_iota(A, B) == pend["action"]).astype(jnp.float32)
+    edge = ohp[None] * oha[:, None, :]
+    pc_w = pc_s[:, 0:Nc, :]
+    pc_s[:, 0:Nc, :] = jnp.where(
+        edge > 0, (slot.astype(jnp.float32) + 2.0)
+        + (pc_w - jnp.floor(pc_w)), pc_w)
+
+    leaf_value = jnp.where(terminal > 0, tval, -value)
+    dmax = jnp.max(depth)
+
+    def bk(c):
+        d, visit, val = c
+        nd = path_s[pl.ds(jnp.minimum(d, dcap - 1), 1), :]
+        nd = jnp.where(d == depth, leaf, nd)
+        am = (d <= depth).astype(jnp.float32)
+        sign = jnp.where((depth - d) % 2 == 0, 1.0, -1.0)
+        oh = (_iota(Nc, B) == nd).astype(jnp.float32) * am
+        inc = 1.0 + jnp.where((d == depth) & do_expand, 0.5, 0.0)
+        return d + 1, visit + oh * inc, val + oh * (sign * leaf_value)
+
+    _, visit, val = jax.lax.while_loop(
+        lambda c: c[0] <= dmax, lambda c: bk(bk(c)),
+        (0, visit_s[0:Nc, :], val_s[0:Nc, :]))
+    visit_s[0:Nc, :] = visit
+    val_s[0:Nc, :] = val
+
+
+def _run_move_sims_2x(env, cfg: MCTSConfig, model, dcap: int, wrefs,
+                      W_ref, aux_ref, halves):
+    """Simulations 1..S-1 pipelined over TWO independent half-batches.
+
+    The dense forward (MXU) of one half executes under the descend/backup
+    (VPU) of the OTHER half — measured on v5e, Mosaic overlaps MXU matmuls
+    with independent VPU chains perfectly (scripts/prof_overlap.py), so a
+    move costs ~max(VPU, MXU) instead of their sum.  Per half the schedule
+    is exactly sequential MCTS — results are bitwise-identical to
+    _run_move_sims on each half's lanes.
+
+    ``halves``: two tuples (get_board, rootp, rootmc, visit_s, val_s,
+    prior_s, children_s, path_s, apath_s), one per half-batch.
+    """
+    S = cfg.num_simulations
+    N = halves[0][3].shape[0]
+
+    def dl(h, Nc, slot):
+        (get_board, rootp, rootmc, visit_s, val_s, pc_s,
+         path_s, apath_s) = halves[h]
+        return _descend_leaf(env, cfg, model, dcap, W_ref, aux_ref,
+                             get_board, rootp, rootmc, visit_s, val_s,
+                             pc_s, path_s, apath_s, Nc, slot)
+
+    def ap(h, Nc, slot, pend, probs, value):
+        (_, _, _, visit_s, val_s, pc_s, path_s, _) = halves[h]
+        _apply_sim(env, dcap, visit_s, val_s, pc_s, path_s,
+                   Nc, slot, pend, probs, value)
+
+    def fwd(obs):
+        return _leaf_eval(env, model, wrefs, obs, W_ref[:])
+
+    # ---- prologue: slot 1 descends; half0's forward issues first
+    n_seg = 4 if S >= 128 else (2 if S >= 64 else 1)
+    hi1 = -(-S) // n_seg
+    Nc0 = min(N, -(-hi1 // 8) * 8)
+    pend0 = dl(0, Nc0, jnp.int32(1))
+    f0 = fwd(pend0["obs"])
+    pend1 = dl(1, Nc0, jnp.int32(1))
+
+    carry = (f0[0], f0[1], pend0, pend1)
+    lo = 1
+    for k in range(1, n_seg + 1):
+        hi = min(S, -(-S * k) // n_seg)
+        Nc = min(N, -(-hi // 8) * 8)
+
+        def body(s, carry, Nc=Nc):
+            f0p, f0v, pend0, pend1 = carry
+            f1p, f1v = fwd(pend1["obs"])           # MXU (hides under ap0/dl0)
+            ap(0, Nc, s, pend0, f0p, f0v)
+            pend0n = dl(0, Nc, s + 1)
+            f0np, f0nv = fwd(pend0n["obs"])        # MXU (hides under ap1/dl1)
+            ap(1, Nc, s, pend1, f1p, f1v)
+            pend1n = dl(1, Nc, s + 1)
+            return f0np, f0nv, pend0n, pend1n
+
+        carry = jax.lax.fori_loop(lo, hi, body, carry)
+        lo = hi
+
+    # ---- epilogue: the trailing slot-S descends were wasted work (slot S
+    # is never applied; N = S + 1 rows keep them in range).  Nothing to do.
+    del carry
+
+
+def _root_counts(env, visit_s, pc_s, val_s):
     """Root visit counts (A, B) and root Q (1, B) from the tree arrays.
-    ``visit_s`` is enc-coded (visit + 0.5·expanded): floor decodes."""
+    ``visit_s`` is enc-coded (visit + 0.5·expanded): floor decodes;
+    ``pc_s`` is packed (child_id+2)+prior_frac."""
     A = env.action_dim
     N, B = visit_s.shape
     visit = visit_s[:]
-    crow = children_s[:, 0, :]                                 # (A, B)
+    crow = jnp.floor(pc_s[:, 0, :]) - 2.0                      # (A, B)
     cnt = []
     for a in range(A):
         oh = (_iota(N, B) == crow[a:a + 1, :].astype(jnp.int32)) \
@@ -285,8 +513,7 @@ def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
      W_ref, aux_ref) = refs[:8]
     wrefs = refs[8:8 + n_w]
     counts_ref, rootq_ref = refs[8 + n_w:10 + n_w]
-    (visit_s, val_s, prior_s, children_s, path_s,
-     apath_s) = refs[10 + n_w:]
+    (visit_s, val_s, pc_s, path_s, apath_s) = refs[10 + n_w:]
 
     A = env.action_dim
     N = visit_s.shape[0]
@@ -297,23 +524,24 @@ def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
 
     # ---- root expansion (host-computed prior/value; ai/mcts.py:34-56).
     # visit is enc-coded: root = 1 visit + 0.5 if expanded (live games).
+    # Edges are packed (child+2)+prior_frac: legal root actions (host
+    # marks illegal/dead with NEG) start with no child (integer 1).
     visit_s[:] = jnp.zeros((N, B), jnp.float32)
     val_s[:] = jnp.zeros((N, B), jnp.float32)
     visit_s[0:1, :] = 1.0 + 0.5 * (live > 0).astype(jnp.float32)
     val_s[0:1, :] = jnp.where(live > 0, -rv_ref[:], 0.0)
-    prior_s[:] = jnp.full((A, N, B), NEG, jnp.float32)
-    prior_s[:, 0, :] = rprior_ref[:]
-    children_s[:] = jnp.full((A, N, B), -1.0, jnp.float32)
+    rp = rprior_ref[:]
+    pc_s[:] = jnp.zeros((A, N, B), jnp.float32)
+    pc_s[:, 0, :] = jnp.where(rp > -1e29, 1.0 + _qfrac(rp), 0.0)
 
     def get_board():
         return (board_ref[0, :, :].astype(jnp.float32),
                 board_ref[1, :, :].astype(jnp.float32))
 
     _run_move_sims(env, cfg, model, dcap, wrefs, W_ref, aux_ref, get_board,
-                   rootp, rootmc, visit_s, val_s, prior_s,
-                   children_s, path_s, apath_s)
+                   rootp, rootmc, visit_s, val_s, pc_s, path_s, apath_s)
 
-    counts, rootq = _root_counts(env, visit_s, children_s, val_s)
+    counts, rootq = _root_counts(env, visit_s, pc_s, val_s)
     counts_ref[:] = counts
     rootq_ref[:] = rootq
 
@@ -378,7 +606,7 @@ def _sample_from_counts(cfg: MCTSConfig, counts, policy, u, t):
 
 
 def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
-                  *refs):
+                  pipelined: bool, *refs):
     """M whole self-play moves for all B games.
 
     refs layout:
@@ -389,22 +617,32 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
                rec_obs (M·ORCp, B) f32, rec_policy (M·Ap, B) f32,
                rec_meta (M·8, B) f32 rows per move:
                  [player, t_pre, action, done, winner, root_q, 0, 0]
-      scratch: visit (enc) / val (N, B), prior (A, N, B),
-               children (A, N, B), path (dcap, B) i32, apath (dcap, B) i32
+      scratch (pipelined=False): visit (enc) / val (N, B),
+               prior (A, N, B), children (A, N, B), path/apath (dcap, B)
+      scratch (pipelined=True): the same arrays split into two lane halves
+               (N, H) / (A, N, H) / (dcap, H), interleaved per half —
+               the sim loop runs the two halves MXU/VPU-pipelined
+               (_run_move_sims_2x).
     """
     (board_in, player_in, mc_in, noise_ref, unif_ref, W_ref,
      aux_ref) = refs[:7]
     wrefs = refs[7:7 + n_w]
     (board_ref, player_ref, mc_ref, obs_out, pol_out,
      meta_out) = refs[7 + n_w:13 + n_w]
-    (visit_s, val_s, prior_s, children_s, path_s,
-     apath_s) = refs[13 + n_w:]
+    scratch = refs[13 + n_w:]
+    if pipelined:
+        (visit0, visit1, val0, val1, pc0, pc1,
+         path0, path1, apath0, apath1) = scratch
+    else:
+        (visit_s, val_s, pc_s, path_s, apath_s) = scratch
 
     A = env.action_dim
     RC = env.rows * env.cols
     R, C = env.rows, env.cols
     F = env.feature_dim
-    N, B = visit_s.shape
+    N = scratch[0].shape[0]
+    B = board_in.shape[2]
+    H = B // 2
     Ap = _pad8_local(A)
     ORCp = _pad8_local(F * RC)
     eps = jnp.float32(cfg.dirichlet_eps)
@@ -426,7 +664,7 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
             obs = jnp.concatenate([mine, theirs], axis=0)
 
         # ---- root evaluation + Dirichlet mix (ai/mcts.py:34-53)
-        probs0, value0 = _dense_forward(env, model, wrefs, obs, W_ref[:])
+        probs0, value0 = _leaf_eval(env, model, wrefs, obs, W_ref[:])
         if cfg.use_dirichlet:
             nz = noise_ref[pl.ds(m * Ap, A), :]
             probs0 = (1.0 - eps) * probs0 + eps * nz
@@ -452,19 +690,42 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
         # ---- tree init (root expansion; every game is live in-kernel —
         # finished games were reset at the end of the previous move).
         # visit is enc-coded: root = 1 visit + 0.5 expanded.
-        visit_s[:] = jnp.zeros((N, B), jnp.float32)
-        val_s[:] = jnp.zeros((N, B), jnp.float32)
-        visit_s[0:1, :] = jnp.full((1, B), 1.5, jnp.float32)
-        val_s[0:1, :] = -value0
-        prior_s[:] = jnp.full((A, N, B), NEG, jnp.float32)
-        prior_s[:, 0, :] = jnp.where(valid > 0, probs0, NEG)
-        children_s[:] = jnp.full((A, N, B), -1.0, jnp.float32)
+        root_pc = jnp.where(valid > 0, 1.0 + _qfrac(probs0), 0.0)
+        if pipelined:
+            halves = []
+            for h, (v_s, l_s, p_s, pa_s, ap_s) in enumerate(
+                    [(visit0, val0, pc0, path0, apath0),
+                     (visit1, val1, pc1, path1, apath1)]):
+                sl = slice(h * H, (h + 1) * H)
+                v_s[:] = jnp.zeros((N, H), jnp.float32)
+                l_s[:] = jnp.zeros((N, H), jnp.float32)
+                v_s[0:1, :] = jnp.full((1, H), 1.5, jnp.float32)
+                l_s[0:1, :] = -value0[:, sl]
+                p_s[:] = jnp.zeros((A, N, H), jnp.float32)
+                p_s[:, 0, :] = root_pc[:, sl]
+                halves.append((
+                    (lambda s=sl: (p0[:, s], p1[:, s])),
+                    player[:, sl], mc[:, sl],
+                    v_s, l_s, p_s, pa_s, ap_s))
+            _run_move_sims_2x(env, cfg, model, dcap, wrefs, W_ref,
+                              aux_ref, halves)
+            c0, q0 = _root_counts(env, visit0, pc0, val0)
+            c1, q1 = _root_counts(env, visit1, pc1, val1)
+            counts = jnp.concatenate([c0, c1], axis=1)
+            rootq = jnp.concatenate([q0, q1], axis=1)
+        else:
+            visit_s[:] = jnp.zeros((N, B), jnp.float32)
+            val_s[:] = jnp.zeros((N, B), jnp.float32)
+            visit_s[0:1, :] = jnp.full((1, B), 1.5, jnp.float32)
+            val_s[0:1, :] = -value0
+            pc_s[:] = jnp.zeros((A, N, B), jnp.float32)
+            pc_s[:, 0, :] = root_pc
 
-        _run_move_sims(env, cfg, model, dcap, wrefs, W_ref, aux_ref,
-                       lambda: (p0, p1), player, mc, visit_s, val_s,
-                       prior_s, children_s, path_s, apath_s)
+            _run_move_sims(env, cfg, model, dcap, wrefs, W_ref, aux_ref,
+                           lambda: (p0, p1), player, mc, visit_s, val_s,
+                           pc_s, path_s, apath_s)
 
-        counts, rootq = _root_counts(env, visit_s, children_s, val_s)
+            counts, rootq = _root_counts(env, visit_s, pc_s, val_s)
         total = jnp.maximum(jnp.sum(counts, axis=0, keepdims=True), 1.0)
         policy = counts / total
 
@@ -526,7 +787,8 @@ def _pad8_local(n: int) -> int:
 
 def run_selfplay_chunk_fused(env, model, params, boards, players,
                              move_counts, rng, cfg: MCTSConfig, M: int,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             pipelined=None):
     """Run M fused self-play moves for all B games.
 
     Inputs are raw env state arrays (``boards (B, 2, R, C)`` int8,
@@ -572,9 +834,36 @@ def run_selfplay_chunk_fused(env, model, params, boards, players,
     player_t = players.astype(jnp.int32).reshape(1, B)
     mc_t = move_counts.astype(jnp.int32).reshape(1, B)
 
+    # MXU/VPU pipelining over two half-batches needs 128-lane halves
+    if pipelined is None:
+        pipelined = False   # tree-level half pipelining measured ~0 gain;
+        # the forward-level stage interleave (_dense_forward_2x) captures
+        # the MXU/VPU overlap without per-half trees
+    H = B // 2
+    if pipelined:
+        scratch = []
+        for _ in range(2):
+            scratch += [pltpu.VMEM((N, H), jnp.float32)]   # visit (enc)
+        for _ in range(2):
+            scratch += [pltpu.VMEM((N, H), jnp.float32)]   # val
+        for _ in range(2):
+            scratch += [pltpu.VMEM((A, N, H), jnp.float32)]  # packed edges
+        for _ in range(2):
+            scratch += [pltpu.VMEM((dcap, H), jnp.int32)]  # path
+        for _ in range(2):
+            scratch += [pltpu.VMEM((dcap, H), jnp.int32)]  # apath
+    else:
+        scratch = [
+            pltpu.VMEM((N, B), jnp.float32),             # visit (enc)
+            pltpu.VMEM((N, B), jnp.float32),             # val
+            pltpu.VMEM((A, N, B), jnp.float32),          # packed edges
+            pltpu.VMEM((dcap, B), jnp.int32),            # path
+            pltpu.VMEM((dcap, B), jnp.int32),            # apath
+        ]
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     kern = pl.pallas_call(
-        functools.partial(_chunk_kernel, env, cfg, dcap, model, n_w, M),
+        functools.partial(_chunk_kernel, env, cfg, dcap, model, n_w, M,
+                          pipelined),
         out_shape=(
             jax.ShapeDtypeStruct((2, RC, B), jnp.float32),   # board
             jax.ShapeDtypeStruct((1, B), jnp.int32),         # player
@@ -586,14 +875,7 @@ def run_selfplay_chunk_fused(env, model, params, boards, players,
         in_specs=[vspec] * (7 + n_w),
         out_specs=(vspec,) * 6,
         input_output_aliases={0: 0, 1: 1, 2: 2},
-        scratch_shapes=[
-            pltpu.VMEM((N, B), jnp.float32),             # visit (enc)
-            pltpu.VMEM((N, B), jnp.float32),             # val
-            pltpu.VMEM((A, N, B), jnp.float32),          # prior
-            pltpu.VMEM((A, N, B), jnp.float32),          # children
-            pltpu.VMEM((dcap, B), jnp.int32),            # path
-            pltpu.VMEM((dcap, B), jnp.int32),            # apath
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -601,11 +883,23 @@ def run_selfplay_chunk_fused(env, model, params, boards, players,
     board_o, player_o, mc_o, obs_o, pol_o, meta_o = kern(
         board_t, player_t, mc_t, noise_t, unif_t, W, aux, *ws)
 
-    obs_m = obs_o.reshape(M, ORCp, B)[:, :F * RC].transpose(0, 2, 1) \
+    # lane↔sublane transposes via identity matmul: XLA's native transpose
+    # of these shapes runs ~3 GB/s on TPU; an einsum against I runs on the
+    # MXU (exact — single 0/1 coefficient per output element)
+    def t_mxu(x3):  # (M', R, B) -> (M', B, R)
+        eye = jnp.eye(x3.shape[1], dtype=jnp.float32)
+        # HIGHEST = 3-pass bf16: exact for f32·{0,1} (default single-pass
+        # bf16 rounds the mantissa — measured 0.1% policy corruption)
+        return jnp.einsum("mrb,rc->mbc", x3, eye,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+
+    # slice off the unwritten pad rows BEFORE contracting (0·garbage = NaN)
+    obs_m = t_mxu(obs_o.reshape(M, ORCp, B)[:, :F * RC]) \
         .reshape(M, B, F, env.rows, env.cols).astype(jnp.int8)
-    pol_m = pol_o.reshape(M, Ap, B)[:, :A].transpose(0, 2, 1)  # (M, B, A)
+    pol_m = t_mxu(pol_o.reshape(M, Ap, B)[:, :A])          # (M, B, A)
     meta = meta_o.reshape(M, 8, B)
-    board_f = (board_o.transpose(2, 0, 1) > 0.5).reshape(
+    board_f = (t_mxu(board_o) > 0.5).transpose(1, 0, 2).reshape(
         B, 2, env.rows, env.cols).astype(jnp.int8)
     return {
         "obs": obs_m,
@@ -674,8 +968,7 @@ def run_mcts_fused(env, model, params, eval_fn, boards, players,
         scratch_shapes=[
             pltpu.VMEM((N, B), jnp.float32),             # visit (enc)
             pltpu.VMEM((N, B), jnp.float32),             # val
-            pltpu.VMEM((A, N, B), jnp.float32),          # prior
-            pltpu.VMEM((A, N, B), jnp.float32),          # children
+            pltpu.VMEM((A, N, B), jnp.float32),          # packed edges
             pltpu.VMEM((dcap, B), jnp.int32),            # path
             pltpu.VMEM((dcap, B), jnp.int32),            # apath
         ],

@@ -183,10 +183,20 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
     ``true_visit + 0.5·expanded`` (exact in f32 — visits are integers far
     below 2²³).  This drops one of the three per-action child-stat gather
     passes, the dominant VPU cost of the walk; callers decode with
-    ``floor``."""
+    ``floor``.
+
+    ``children=None`` additionally selects PACKED mode: ``prior`` holds
+    ``(child_id + 2) + prior_frac`` per edge, where prior_frac =
+    round(prior·2¹⁴)·2⁻¹⁵ ∈ [0, 0.5] (exact alongside integer parts < 256
+    — f32 has 2⁻¹⁵ resolution there) and integer part 0 encodes an
+    illegal action.  One row gather replaces the separate prior+children
+    gathers — with ENC that is 2 gather passes/step instead of the
+    original 4."""
     R, C = env.rows, env.cols
     RC = R * C
     enc = expd is None
+    packed = children is None
+    assert not packed or enc, "packed mode requires enc mode"
     node0 = jnp.zeros((1, B), jnp.int32)
     if enc:
         pv0 = jnp.floor(visit[0:1, :])
@@ -215,8 +225,15 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
         stop = jnp.where(d >= dcap, jnp.ones_like(stop), stop)
         dw = jnp.minimum(d, dcap - 1)                         # clamped row
         oh = (_iota(N, B) == node).astype(jnp.float32)        # (N, B)
-        prow = jnp.sum(prior * oh[None], axis=1)              # (A, B)
-        crow = jnp.sum(children * oh[None], axis=1)           # (A, B)
+        if packed:
+            pcrow = jnp.sum(prior * oh[None], axis=1)         # (A, B)
+            fl = jnp.floor(pcrow)
+            crow = fl - 2.0
+            prow = (pcrow - fl) * 2.0
+            illegal = fl == 0
+        else:
+            prow = jnp.sum(prior * oh[None], axis=1)          # (A, B)
+            crow = jnp.sum(children * oh[None], axis=1)       # (A, B)
         # child stats: unrolled over the small action dim (keeps VMEM
         # pressure at (N, B) instead of (A, N, B))
         cv, cl, ce = [], [], []
@@ -240,6 +257,8 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
         if cfg.formula == "alphazero":
             explore = cfg.c_puct * explore
         ucb = q + explore
+        if packed:
+            ucb = jnp.where(illegal, NEG, ucb)
         act = _argmax_first(ucb, A, B)                        # (1, B)
         act_oh = (_iota(A, B) == act).astype(jnp.float32)
         c_sel = jnp.sum(crow * act_oh, axis=0, keepdims=True)
@@ -288,10 +307,11 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
     init = (0, node0, pv0, stop0, depth0, parent0, action0, chsel0)
     if board is not None:
         init = init + (p0_0, p1_0, h0)
-    # 2x unroll: halves the loop-control overhead (branch + cross-lane
-    # `min(stop)` reduction per iteration), which dominates the walk's cost
-    # at these array sizes; the possible extra body run is a no-op.
-    res = jax.lax.while_loop(cond, lambda c: body(body(c)), init)
+    # 4x unroll: quarters the loop-control overhead (branch + cross-lane
+    # `min(stop)` reduction + scalar sync per iteration); overrun bodies
+    # are exact no-ops (every lane frozen).
+    res = jax.lax.while_loop(cond, lambda c: body(body(body(body(c)))),
+                             init)
     depth, parent, action, chsel = res[4:8]
     if board is not None:
         return depth, parent, action, chsel, res[8], res[9], res[10]

@@ -30,8 +30,10 @@ from alphazero_tpu.training.selfplay import init_selfplay, make_selfplay_runner
 from alphazero_tpu.utils.checkpoint import CheckpointManager
 from alphazero_tpu.utils.metrics import MetricsLogger
 
-# Static scan lengths so each jit compiles once.
-SELFPLAY_CHUNK_STEPS = 8
+# Static scan lengths so each jit compiles once.  32 self-play moves per
+# dispatch amortizes per-chunk costs (Dirichlet noise generation is
+# call-overhead-bound: 0.59 ms/move at 8-move chunks, 0.05 at 32+).
+SELFPLAY_CHUNK_STEPS = 32
 TRAIN_CHUNK_STEPS = 32
 
 

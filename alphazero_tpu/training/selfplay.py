@@ -15,6 +15,7 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from alphazero_tpu.config import MCTSConfig, ReplayConfig
@@ -156,16 +157,58 @@ def selfplay_chunk_fused(env, model, params, mcts_cfg: MCTSConfig,
         env, model, params, sp.env_state.board, sp.env_state.current_player,
         sp.env_state.move_count, krng, mcts_cfg, M, interpret=interpret)
 
-    def mbody(carry, r):
-        traj_obs, traj_policy, buffer = carry
-        traj_obs, traj_policy, buffer = _record_and_flush(
-            env, replay_cfg, syms, traj_obs, traj_policy,
-            r["t"], r["obs"], r["policy"], r["done"], r["winner"], buffer)
-        return (traj_obs, traj_policy, buffer), None
+    # ---- fold all M records into the slabs at once, flush finished games
+    # per done-EVENT (a game can finish at most 1 + (M-1)//min_len times in
+    # an M-move chunk; each later finisher played a full game in-chunk).
+    # Per (game, row) the LAST chunk write wins — overlay via one einsum
+    # against a last-write-wins selection mask instead of M sequential
+    # full-slab passes (measured: the per-move scan cost 2.1 ms/move).
+    L = sp.traj_obs.shape[1]
+    FRC = int(np.prod(sp.traj_obs.shape[2:]))
+    A = sp.traj_policy.shape[2]
+    lr = jnp.arange(L)[None, :]
+    obs_flat = rec["obs"].reshape(M, B, FRC).astype(jnp.float32)
 
-    xs = {k: rec[k] for k in ("t", "obs", "policy", "done", "winner")}
-    (traj_obs, traj_policy, buffer), _ = jax.lax.scan(
-        mbody, (sp.traj_obs, sp.traj_policy, buffer), xs)
+    def overlay(slab_obs, slab_pol, m_cap):
+        """Slabs with every record (m ≤ m_cap[b], last write wins) applied."""
+        sels, later = [], jnp.zeros((B, L), bool)
+        for m in reversed(range(M)):
+            hit = (rec["t"][m][:, None] == lr) & (m <= m_cap)[:, None]
+            sels.append(hit & ~later)
+            later = later | hit
+        sel = jnp.stack(sels[::-1]).astype(jnp.float32)       # (M, B, L)
+        any_w = later                                          # (B, L)
+        # HIGHEST: exact f32 for the policy overlay (default matmul
+        # precision is single-pass bf16 on TPU)
+        up_obs = jnp.einsum("mbl,mbx->blx", sel, obs_flat,
+                            preferred_element_type=jnp.float32)
+        up_pol = jnp.einsum("mbl,mba->bla", sel, rec["policy"],
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+        new_obs = jnp.where(any_w[:, :, None],
+                            up_obs.astype(jnp.int8),
+                            slab_obs.reshape(B, L, FRC)).reshape(
+            slab_obs.shape)
+        new_pol = jnp.where(any_w[:, :, None], up_pol, slab_pol)
+        return new_obs, new_pol
+
+    min_len = 2 * env.win_len - 1          # shortest decided game
+    n_stages = 1 + (M - 1) // min_len
+    cum = jnp.cumsum(rec["done"].astype(jnp.int32), axis=0)   # (M, B)
+    buffer_new = buffer
+    for s in range(n_stages):
+        event = rec["done"] & (cum == s + 1)                  # (M, B)
+        fired = event.any(axis=0)                             # (B,)
+        ev = event.astype(jnp.int32)
+        m_s = jnp.where(fired, jnp.argmax(ev, axis=0), -1)    # (B,)
+        length_s = (ev * (rec["t"] + 1)).sum(axis=0)          # t_done + 1
+        winner_s = jnp.where(fired, (ev * rec["winner"]).sum(axis=0), -1)
+        st_obs, st_pol = overlay(sp.traj_obs, sp.traj_policy, m_s)
+        buffer_new = add_games(buffer_new, st_obs, st_pol, length_s,
+                               winner_s, fired)
+    buffer = buffer_new
+    traj_obs, traj_policy = overlay(sp.traj_obs, sp.traj_policy,
+                                    jnp.full((B,), M - 1, jnp.int32))
 
     env_state = EnvState(
         board=rec["board"],

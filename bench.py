@@ -103,11 +103,11 @@ def main():
     t_start = time.perf_counter()
 
     # headline FIRST so it is always measured within the budget
-    headline = bench_config("connect4", steps_per_chunk=8, chunks=6)
+    headline = bench_config("connect4", steps_per_chunk=32, chunks=3)
     print(json.dumps(headline), flush=True)
 
     secondary = [
-        ("tictactoe", 8, 6),
+        ("tictactoe", 32, 3),
         ("connect4-resnet", 8, 3),
         ("gomoku9", 2, 2),
         ("gomoku15", 1, 2),

@@ -85,10 +85,10 @@ if __name__ == "__main__":
     if "split" in phases:
         full = time_runner(512, 8, "runner-full")
         kern = time_kernel_only(512, 8, "kernel-only")
-        orig = F._dense_forward
-        F._dense_forward = fake_forward
+        orig = F._leaf_eval
+        F._leaf_eval = fake_forward
         nofwd = time_kernel_only(512, 8, "kernel-no-forward")
-        F._dense_forward = orig
+        F._leaf_eval = orig
         print(f"\nglue (runner - kernel): {1e3 * (full - kern):.2f} ms/move")
         print(f"network forward: {1e3 * (kern - nofwd):.2f} ms/move")
         print(f"search bookkeeping: {1e3 * nofwd:.2f} ms/move")

@@ -1,5 +1,5 @@
 """Attribute the per-chunk glue around the chunk kernel: Dirichlet noise
-generation, trajectory-slab writes, augmentation + ring-buffer scatters."""
+generation, trajectory-slab writes, game-block flush, record reshapes."""
 import sys
 sys.path.insert(0, "/root/repo")
 
@@ -12,7 +12,7 @@ from alphazero_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 from alphazero_tpu.config import preset
-from alphazero_tpu.data import create
+from alphazero_tpu.data import add_games, create
 from alphazero_tpu.data.augment import Symmetries
 from alphazero_tpu.envs import make_env
 from alphazero_tpu.training import selfplay as SP
@@ -26,14 +26,15 @@ syms = Symmetries(env)
 def timeit(tag, f, *args, n=6):
     t0 = time.perf_counter()
     o = f(*args)
-    jax.block_until_ready(jax.tree.leaves(o)[0])
+    float(jax.tree.leaves(o)[0].sum())      # host fetch forces completion
     print(f"[{tag}] compile {time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     for _ in range(n):
         o = f(*args)
-    jax.block_until_ready(jax.tree.leaves(o)[0])
+    float(jax.tree.leaves(o)[0].sum())
     dt = (time.perf_counter() - t0) / n
-    print(f"[{tag}] {dt*1e3:.2f} ms/chunk = {dt*1e3/M:.2f} ms/move", flush=True)
+    print(f"[{tag}] {dt*1e3:.2f} ms/chunk = {dt*1e3/M:.2f} ms/move",
+          flush=True)
     return dt
 
 
@@ -41,35 +42,34 @@ def timeit(tag, f, *args, n=6):
 @jax.jit
 def gen_noise(rng):
     return jax.random.dirichlet(
-        rng, jnp.full((A,), 0.3, jnp.float32), shape=(M, B))
+        rng, jnp.full((A,), 0.3, jnp.float32), shape=(M, B)).sum()
 
 
 timeit("dirichlet", gen_noise, jax.random.PRNGKey(0))
 
 
-# 2. record scan without buffer writes (slab updates only)
+# 2. record scan: slab writes only vs slab writes + game-block flush
 def make_scan(with_flush: bool):
     @jax.jit
-    def f(sp_slabs, buffer, rec):
-        traj_obs, traj_policy, traj_player = sp_slabs
+    def f(slabs, buffer, rec):
+        traj_obs, traj_policy = slabs
 
         def mbody(carry, r):
-            to, tp, tpl, buf = carry
+            to, tp, buf = carry
             if with_flush:
-                to, tp, tpl, buf = SP._record_and_flush(
-                    env, cfg.replay, syms, to, tp, tpl, r["t"], r["obs"],
-                    r["policy"], r["player"], r["done"], r["winner"], buf)
+                to, tp, buf = SP._record_and_flush(
+                    env, cfg.replay, syms, to, tp, r["t"], r["obs"],
+                    r["policy"], r["done"], r["winner"], buf)
             else:
                 at_t = (jnp.arange(L)[None, :] == r["t"][:, None])
                 to = jnp.where(at_t[:, :, None, None, None],
                                r["obs"][:, None], to)
                 tp = jnp.where(at_t[:, :, None], r["policy"][:, None], tp)
-                tpl = jnp.where(at_t, r["player"][:, None], tpl)
-            return (to, tp, tpl, buf), None
+            return (to, tp, buf), None
 
-        (to, tp, tpl, buf), _ = jax.lax.scan(
-            mbody, (traj_obs, traj_policy, traj_player, buffer), rec)
-        return to, buf
+        (to, tp, buf), _ = jax.lax.scan(
+            mbody, (traj_obs, traj_policy, buffer), rec)
+        return to.sum(), buf.length.sum()
 
     return f
 
@@ -78,14 +78,31 @@ rec = {
     "t": jnp.zeros((M, B), jnp.int32),
     "obs": jnp.zeros((M, B, env.feature_dim, env.rows, env.cols), jnp.int8),
     "policy": jnp.zeros((M, B, A), jnp.float32),
-    "player": jnp.zeros((M, B), jnp.int32),
     "done": jnp.zeros((M, B), bool).at[3].set(True),
     "winner": jnp.zeros((M, B), jnp.int32),
 }
 slabs = (jnp.zeros((B, L, env.feature_dim, env.rows, env.cols), jnp.int8),
-         jnp.zeros((B, L, A), jnp.float32),
-         jnp.zeros((B, L), jnp.int32))
+         jnp.zeros((B, L, A), jnp.float32))
 buffer = create(env, cfg.replay.capacity)
 
 timeit("slab-writes-only", make_scan(False), slabs, buffer, rec)
-timeit("record+flush", make_scan(True), slabs, buffer, rec)
+timeit("record+block-flush", make_scan(True), slabs, buffer, rec)
+
+
+# 3. the record reshapes/transposes from kernel layout (run_selfplay glue)
+ORCp = 128
+@jax.jit
+def reshape_records(obs_o, pol_o, meta_o, board_o):
+    F = env.feature_dim
+    RC = env.rows * env.cols
+    obs_m = obs_o.reshape(M, ORCp, B)[:, :F * RC].transpose(0, 2, 1) \
+        .reshape(M, B, F, env.rows, env.cols).astype(jnp.int8)
+    pol_m = pol_o.reshape(M, 8, B)[:, :A].transpose(0, 2, 1)
+    board_f = (board_o.transpose(2, 0, 1) > 0.5).reshape(
+        B, 2, env.rows, env.cols).astype(jnp.int8)
+    return obs_m.sum(), pol_m.sum(), board_f.sum()
+
+
+timeit("record-reshapes", reshape_records,
+       jnp.zeros((M * ORCp, B)), jnp.zeros((M * 8, B)),
+       jnp.zeros((M * 8, B)), jnp.zeros((2, 42, B)))

@@ -34,8 +34,8 @@ def main():
     model = build_model(ModelConfig(family="dense", width=64, blocks=1), env)
     params = init_params(model, env, jax.random.PRNGKey(0))
     kernel_stub, xla_eval = _exact_stub_forwards(env)
-    orig = F._dense_forward
-    F._dense_forward = kernel_stub
+    orig = F._leaf_eval
+    F._leaf_eval = kernel_stub
     try:
         cfg = MCTSConfig(num_simulations=24, temperature_moves=0,
                          use_dirichlet=False)
@@ -85,7 +85,7 @@ def main():
         print(f"chunk kernel: {M} moves x {B} games bitwise-equal to the "
               "XLA engine on compiled Mosaic OK")
     finally:
-        F._dense_forward = orig
+        F._leaf_eval = orig
 
 
 if __name__ == "__main__":

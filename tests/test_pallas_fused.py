@@ -177,6 +177,9 @@ def _exact_stub_forwards(env):
             rows.append(1.0 + jnp.sum(obs * g, axis=0, keepdims=True))
         w = jnp.concatenate(rows, axis=0)                  # (A, B) ints
         probs = w / jnp.sum(w, axis=0, keepdims=True)
+        # grid-align to 2^-14 so the kernel's packed-prior quantization
+        # (pallas_fused._qfrac) is the identity — bitwise across engines
+        probs = jnp.floor(probs * 16384.0 + 0.5) / 16384.0
         value = (tot - 5.0 * jnp.floor(tot / 5.0) - 2.0) / 4.0
         return probs, value
 
@@ -184,6 +187,7 @@ def _exact_stub_forwards(env):
         x = obs.reshape(obs.shape[0], -1)
         w = 1.0 + x @ jnp.asarray(groups.T)                 # (B, A) ints
         probs = w / jnp.sum(w, axis=-1, keepdims=True)
+        probs = jnp.floor(probs * 16384.0 + 0.5) / 16384.0
         tot = jnp.sum(x, axis=-1)
         value = (tot - 5.0 * jnp.floor(tot / 5.0) - 2.0) / 4.0
         return probs, value
@@ -191,7 +195,9 @@ def _exact_stub_forwards(env):
     return kernel_stub, xla_eval
 
 
-def test_chunk_kernel_trajectory_bitwise_vs_xla_engine(monkeypatch):
+@pytest.mark.parametrize("pipelined", [False, True])
+def test_chunk_kernel_trajectory_bitwise_vs_xla_engine(monkeypatch,
+                                                       pipelined):
     """The whole-chunk self-play kernel (M moves: root eval → search →
     greedy action → env step → reset, search/pallas_fused.py:_chunk_kernel)
     reproduces the XLA engine's per-move trajectory BITWISE under an exact
@@ -202,7 +208,7 @@ def test_chunk_kernel_trajectory_bitwise_vs_xla_engine(monkeypatch):
     model = build_model(ModelConfig(family="dense", width=64, blocks=1), env)
     params = init_params(model, env, jax.random.PRNGKey(0))
     kernel_stub, xla_eval = _exact_stub_forwards(env)
-    monkeypatch.setattr(F, "_dense_forward", kernel_stub)
+    monkeypatch.setattr(F, "_leaf_eval", kernel_stub)
 
     cfg = MCTSConfig(num_simulations=24, temperature_moves=0,
                      use_dirichlet=False)
@@ -221,7 +227,8 @@ def test_chunk_kernel_trajectory_bitwise_vs_xla_engine(monkeypatch):
 
     rec = F.run_selfplay_chunk_fused(
         env, model, params, jnp.asarray(boards), jnp.asarray(players),
-        jnp.asarray(mcs), jax.random.PRNGKey(7), cfg, M, interpret=True)
+        jnp.asarray(mcs), jax.random.PRNGKey(7), cfg, M, interpret=True,
+        pipelined=pipelined)
     rec = jax.tree.map(np.asarray, rec)
 
     # reference: the XLA engine, one move at a time
