@@ -57,6 +57,9 @@ def cmd_train(args):
         profile_cm = contextlib.nullcontext()
     if (args.resume or args.train_only) and tr.restore_checkpoint():
         print(f"resumed at version {tr.version}", file=sys.stderr)
+    if args.expand_depth:
+        tr.expand_depth(args.expand_depth)
+        print(f"expanded ViT depth to {args.expand_depth}", file=sys.stderr)
     with profile_cm:
         _run_train(tr, args)
 
@@ -165,6 +168,11 @@ def main(argv=None):
                         "checkpoint workdir (reference buffer preload, "
                         "main.py:129)")
     t.add_argument("--load-buffer-step", type=int, default=None)
+    t.add_argument("--expand-depth", type=int, default=None,
+                   help="grow the ViT to this many transformer blocks "
+                        "before training, transferring matching params "
+                        "(reference expand_transformer_layers, "
+                        "main.py:99-120); combine with --resume")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval", help="arena comparison")

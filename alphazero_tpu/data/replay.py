@@ -188,6 +188,12 @@ def sample(buf: ReplayBuffer, rng, batch_size: int, syms=None,
     element per draw; rows before ``augment_skip`` stay identity.
     """
     if buf.cursor.ndim == 1:
+        # Each shard contributes batch_size/S rows unconditionally.  During
+        # warm-up a still-empty shard contributes all-zero observations with
+        # value 0 (the all-empty guard picks block 0), diluting early batches;
+        # callers that care should delay training until every shard has data
+        # (jnp.min(buf.size) > 0 — see parallel/spmd.py warmup note).
+        # Per-shard resampling inside jit would need data-dependent shapes.
         S = buf.cursor.shape[0]
         assert batch_size % S == 0, (batch_size, S)
         out = jax.vmap(lambda b, k: sample(b, k, batch_size // S, syms,
@@ -217,14 +223,14 @@ def sample(buf: ReplayBuffer, rng, batch_size: int, syms=None,
     if syms is not None and syms.num > 1:
         s = jax.random.randint(ks, (batch_size,), 0, syms.num)
         s = jnp.where(r < augment_skip, 0, s)
-        obs_all, pol_all = [], []
-        for k in range(syms.num):
-            o2, p2 = syms.apply(k, obs, pol)
-            obs_all.append(o2)
-            pol_all.append(p2)
-        sel = s[:, None, None, None]
-        obs = sum(jnp.where(sel == k, o, 0.0)
-                  for k, o in enumerate(obs_all))
-        pol = sum(jnp.where(s[:, None] == k, p, 0.0)
-                  for k, p in enumerate(pol_all))
+        # O(1) in the group size: gather each row through ITS sampled
+        # permutation (cell_perms[s] is a per-row permutation table) instead
+        # of materializing all |G| variants and mask-selecting — 1x transform
+        # bandwidth on the learner's critical path rather than |G|x.
+        cp = syms.cell_perms[s]                       # (bs, RC)
+        ap = syms.action_perms[s]                     # (bs, A)
+        flat = obs.reshape(obs.shape[:-2] + (cp.shape[-1],))
+        obs = jnp.take_along_axis(flat, cp[:, None, :],
+                                  axis=-1).reshape(obs.shape)
+        pol = jnp.take_along_axis(pol, ap, axis=-1)
     return obs, pol, val

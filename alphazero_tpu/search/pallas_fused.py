@@ -50,6 +50,11 @@ def supports_fused(env, batch: int, cfg: MCTSConfig, model) -> bool:
         return False
     if cfg.leaf_batch != 1 or batch % 128 != 0:
         return False
+    # Packed (child_id+2)+prior_frac edges are exact only while the integer
+    # part stays < 512 (f32 spacing is 2^-15 up to 512, matching _qfrac's
+    # grid); child ids reach num_simulations, so bound the sim count.
+    if cfg.num_simulations + 2 >= 512:
+        return False
     N = cfg.num_simulations + 1
     A = env.action_dim
     tree_bytes = (2 + A) * N * batch * 4   # visit+val + packed edges
@@ -198,13 +203,17 @@ def _dense_forward_2x(env, model, wrefs, obs, W_lines):
             k, phase = divmod(si - 1, 2)
             s, b, W1, b1, W2, b2 = blk[k]
             if phase == 0:   # vpu: finish residual, LN; mxu: fc1
+                # residual adds parenthesized as h + (p + bias): float add
+                # is non-associative and _dense_forward computes
+                # h + (mm_out + bias) — required for bitwise parity
+                # (tests/test_pallas_fused.py interleaved-forward test)
                 st["h"] = (st["p"] + bst if k == 0
-                           else st["h"] + st["p"] + blk[k - 1][5])
+                           else st["h"] + (st["p"] + blk[k - 1][5]))
                 st["p"] = _mm(W1, _ln(st["h"], s, b))
             else:            # vpu: relu; mxu: fc2
                 st["p"] = _mm(W2, jnp.maximum(st["p"] + b1, 0.0))
         elif si == 2 * nb + 1:   # final ln; policy + value_fc matmuls
-            st["h"] = _ln(st["h"] + st["p"] + blk[nb - 1][5], sf, bf)
+            st["h"] = _ln(st["h"] + (st["p"] + blk[nb - 1][5]), sf, bf)
             st["pl"] = jnp.dot(Wpol, st["h"],
                                preferred_element_type=jnp.float32)
             st["p"] = _mm(Wvfc, st["h"])
@@ -598,10 +607,14 @@ def _sample_from_counts(cfg: MCTSConfig, counts, policy, u, t):
     cum = jnp.concatenate(rows, axis=0)                    # (A, B)
     cand = jnp.where(cum > u, ids, A)
     sampled = jnp.min(cand, axis=0, keepdims=True)
-    # float-edge fallback (cum[-1] < u by rounding): last visited action
+    # float-edge fallback (cum[-1] < u by rounding): last visited action;
+    # if NO action has visits (possible only at num_simulations <= 1,
+    # last_visited = -1) fall back to greedy so the kernel never plays an
+    # out-of-range action that would desync board and move count.
     last_visited = jnp.max(jnp.where(counts > 0, ids, -1), axis=0,
                            keepdims=True)
-    sampled = jnp.where(sampled >= A, last_visited, sampled)
+    fallback = jnp.where(last_visited >= 0, last_visited, greedy)
+    sampled = jnp.where(sampled >= A, fallback, sampled)
     return jnp.where(t < cfg.temperature_moves, sampled, greedy)
 
 

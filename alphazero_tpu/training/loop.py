@@ -79,18 +79,33 @@ class Trainer:
     # ------------------------------------------------------------- phases
     def collect(self, games_target: int) -> dict:
         """Self-play with the best params until ``games_target`` new games
-        finish (reference collect_data, train.py:54-83)."""
+        finish (reference collect_data, train.py:54-83).
+
+        One chunk is always kept in flight: the host checks chunk k's game
+        counter while chunk k+1 already runs on device, so the per-chunk
+        host fetch (the only sync point) never stalls the chip.  Costs at
+        most one chunk of overshoot — the extra games land in the buffer
+        and in the counters like any others."""
         start_games = int(self.sp.games_done)
         start_steps = int(self.sp.env_steps)
         t0 = time.time()
-        while int(self.sp.games_done) - start_games < games_target:
-            self.sp, self.buffer = self._runner(
-                self.params_best, self.sp, self.buffer
-            )
-            if self.display:
+        if self.display:
+            # rendering fetches state per chunk anyway — no pipelining
+            while int(self.sp.games_done) - start_games < games_target:
+                self.sp, self.buffer = self._runner(
+                    self.params_best, self.sp, self.buffer
+                )
                 s0 = jax.tree.map(lambda x: x[0], self.sp.env_state)
                 print(f"[game 0, move {int(s0.move_count)}]\n"
                       f"{self.env.render(s0)}", flush=True)
+        else:
+            while True:
+                done_prev = self.sp.games_done     # device scalar, no fetch
+                self.sp, self.buffer = self._runner(
+                    self.params_best, self.sp, self.buffer
+                )
+                if int(done_prev) - start_games >= games_target:
+                    break
         dt = time.time() - t0
         steps = int(self.sp.env_steps) - start_steps
         m = {
@@ -252,6 +267,32 @@ class Trainer:
             size=jnp.int32(k),
         )
         return k
+
+    def expand_depth(self, new_depth: int):
+        """Grow the ViT to ``new_depth`` transformer blocks in place,
+        transferring every matching parameter (reference
+        expand_transformer_layers, main.py:99-120).  Both best and
+        contender params are expanded; jitted programs are rebuilt."""
+        from alphazero_tpu.models.surgery import expand_vit_depth
+        if self.cfg.model.family != "vit":
+            raise ValueError("depth expansion applies to the ViT family "
+                             f"(this run: {self.cfg.model.family!r})")
+        self.rng, k = jax.random.split(self.rng)
+        mcfg, self.model, self.params_best = expand_vit_depth(
+            self.cfg.model, self.env, self.params_best, new_depth, k)
+        _, _, self.params_new = expand_vit_depth(
+            self.cfg.model, self.env, self.params_new, new_depth, k)
+        self.cfg = dataclasses.replace(self.cfg, model=mcfg)
+        self._runner = make_selfplay_runner(
+            self.env, self.model, self.cfg.mcts, self.cfg.replay,
+            num_steps=SELFPLAY_CHUNK_STEPS, donate=False,
+        )
+        self._epoch = make_train_epoch(
+            self.model, self.cfg.train, num_steps=TRAIN_CHUNK_STEPS,
+            donate=False,
+            syms=self._syms if self.cfg.replay.augment else None,
+            augment_skip=self.cfg.replay.augment_skip_moves,
+        )
 
     def restore_checkpoint(self, step: Optional[int] = None) -> bool:
         if not self._ckpt:

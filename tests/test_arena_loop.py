@@ -121,3 +121,21 @@ def test_buffer_import_and_checkpoint_eval(tmp_path):
     tr3 = Trainer(cfg, workdir=str(tmp_path / "a"))
     assert tr3.restore_checkpoint(step=tr.version)
     assert tr3.version == tr.version
+
+
+def test_trainer_expand_depth():
+    """Trainer.expand_depth grows the ViT in place (CLI --expand-depth):
+    existing block params transfer, a new block appears, programs rebuild."""
+    cfg = _tiny_cfg(model=ModelConfig(family="vit", embed_dim=16,
+                                      patch_size=3, num_heads=2, depth=1,
+                                      dropout=0.0, compute_dtype="float32"))
+    tr = Trainer(cfg)
+    old_block0 = jax.tree.map(np.asarray, tr.params_best["block_0"])
+    tr.expand_depth(2)
+    assert tr.cfg.model.depth == 2
+    assert "block_1" in tr.params_best
+    new_block0 = jax.tree.map(np.asarray, tr.params_best["block_0"])
+    for a, b in zip(jax.tree.leaves(old_block0), jax.tree.leaves(new_block0)):
+        np.testing.assert_array_equal(a, b)
+    m = tr.iterate(vanilla_eval=False)   # the rebuilt programs still run
+    assert np.isfinite(m["loss"])

@@ -80,6 +80,85 @@ def test_in_kernel_forward_matches_flax():
                                atol=0.03)
 
 
+def test_interleaved_forward_matches_plain():
+    """_dense_forward_2x (the B%256==0 production path of _leaf_eval) is a
+    pure per-half reorder of _dense_forward with real packed params.
+
+    BITWISE against the plain forward run per-half at B=128 — identical
+    matmul shapes, so equality proves the stage interleave never mixes
+    lanes or reassociates math.  Against the full-B plain forward only
+    allclose holds ON CPU: interpret-mode matmuls (Eigen) reassociate the
+    K-loop differently per column-tile count, so B=256 vs B=128 calls of
+    the SAME math differ by ~1 ULP in lanes >= 128 (measured); on the MXU
+    output columns are independent of the column count, so on-chip the
+    full comparison is bitwise too (scripts/verify_fused_exact.py)."""
+    from alphazero_tpu.search.pallas_fused import _dense_forward_2x, _leaf_eval
+
+    env, model, params = _setup(width=128, blocks=3)
+    B = 256                             # the default connect4 self-play case
+    rng = jax.random.PRNGKey(7)
+    boards = (jax.random.uniform(rng, (B, 2, env.rows, env.cols)) < 0.2) \
+        .astype(jnp.int8)
+    boards = boards.at[:, 1].set(boards[:, 1] * (1 - boards[:, 0]))
+    players = jnp.zeros((B,), jnp.int32)
+    obs = jax.vmap(env.observation_from_board)(boards, players) \
+        .astype(jnp.float32)
+
+    ws = _pack_dense_params(model, params)
+    W = jnp.asarray(_game_tables(env)["W"])
+    F, RC = env.feature_dim, env.rows * env.cols
+    obs_t = obs.reshape(B, F * RC).T                       # (F·RC, B)
+
+    def make_kernel(fwd, nb):
+        def kernel(obs_ref, W_ref, *rest):
+            wrefs = rest[:len(ws)]
+            probs_ref, value_ref = rest[len(ws):]
+            probs, value = fwd(env, model, wrefs, obs_ref[:], W_ref[:])
+            probs_ref[:] = probs
+            value_ref[:] = value
+
+        vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((env.action_dim, nb),
+                                            jnp.float32),
+                       jax.ShapeDtypeStruct((1, nb), jnp.float32)),
+            in_specs=[vspec] * (2 + len(ws)),
+            out_specs=(vspec, vspec),
+            interpret=True,
+        )
+
+    # ---- BITWISE, eager: 2x(full) == plain(per half) — the interleave is a
+    # pure reorder (same matmul shapes per half, no lane mixing, no float
+    # reassociation).  jnp arrays support the kernels' ref ops directly.
+    p2, v2 = _dense_forward_2x(env, model, ws, obs_t, W)
+    ph0, vh0 = _dense_forward(env, model, ws, obs_t[:, :B // 2], W)
+    ph1, vh1 = _dense_forward(env, model, ws, obs_t[:, B // 2:], W)
+    np.testing.assert_array_equal(
+        np.asarray(p2), np.concatenate([np.asarray(ph0), np.asarray(ph1)],
+                                       axis=1))
+    np.testing.assert_array_equal(
+        np.asarray(v2), np.concatenate([np.asarray(vh0), np.asarray(vh1)],
+                                       axis=1))
+
+    # ---- in-kernel (interpret): ULP-class agreement vs the plain kernel
+    # (XLA CPU fuses/reassociates matmul K-loops differently per program —
+    # see docstring; the on-chip MXU path is bitwise)
+    inter = make_kernel(_dense_forward_2x, B)(obs_t, W, *ws)
+    plain = make_kernel(_dense_forward, B)(obs_t, W, *ws)
+    np.testing.assert_allclose(np.asarray(inter[0]), np.asarray(plain[0]),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(inter[1]), np.asarray(plain[1]),
+                               atol=2e-6)
+
+    # and _leaf_eval actually routes B=256 through the interleaved path
+    routed = make_kernel(_leaf_eval, B)(obs_t, W, *ws)
+    np.testing.assert_array_equal(np.asarray(routed[0]),
+                                  np.asarray(inter[0]))
+    np.testing.assert_array_equal(np.asarray(routed[1]),
+                                  np.asarray(inter[1]))
+
+
 def _run_fused(env, model, params, cfg, boards, player=0, mc=0, seed=0):
     B = boards.shape[0]
     ev = make_eval_fn(model, params)
