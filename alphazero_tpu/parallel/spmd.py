@@ -24,41 +24,132 @@ from alphazero_tpu.parallel.mesh import (
     replicated_param_sharding, vit_param_sharding,
 )
 from alphazero_tpu.training.learner import loss_fn, make_optimizer
-from alphazero_tpu.training.selfplay import SelfPlayState, selfplay_step
+from alphazero_tpu.training.selfplay import (SelfPlayState,
+                                             selfplay_chunk_fused,
+                                             selfplay_step)
 from alphazero_tpu.data.augment import Symmetries
+
+
+def _sp_partition_specs(sp: SelfPlayState, batch: int):
+    """PartitionSpec tree for a SelfPlayState: game-batch leaves shard over
+    'data', counters/rng replicate."""
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) >= 1 and shape[0] == batch:
+            return P("data")
+        return P()
+    return jax.tree.map(spec, sp)
+
+
+def make_sharded_selfplay(env, model, cfg: Config, mesh: Mesh,
+                          num_steps: int, interpret: bool = False):
+    """``shard_map``'d whole-chunk fused self-play over the 'data' axis:
+    each shard runs the multi-move Pallas chunk kernel
+    (search/pallas_fused.py) on ITS slice of the game batch and writes into
+    ITS replay-buffer ring — the per-chip fast path and the mesh compose
+    instead of falling back to the XLA engine (SURVEY §2.3 actor/learner
+    row).  Requires a sharded buffer (create_sharded) with one ring per
+    'data' shard.
+
+    Counters (games_done/env_steps/results) psum over 'data' so they stay
+    replicated global totals; the consumed RNG is folded with the shard
+    index (distinct Dirichlet noise per shard), while the carried
+    ``sp.rng`` advances identically on every shard.
+
+    ``interpret=True`` runs the kernel in interpret mode — the CPU-mesh
+    form the multichip dryrun and tests exercise."""
+    from jax import shard_map
+
+    syms = Symmetries(env)
+    n_data = mesh.shape["data"]
+
+    def local(params, sp: SelfPlayState, buffer: ReplayBuffer):
+        idx = jax.lax.axis_index("data")
+        # one ring per shard: drop the shard dim for the flat-buffer ops
+        buf_local = jax.tree.map(lambda x: jnp.squeeze(x, 0), buffer)
+        rng_use = jax.random.fold_in(sp.rng, idx)
+        rng_next = jax.random.split(sp.rng)[0]      # same on every shard
+        g0, e0, r0 = sp.games_done, sp.env_steps, sp.results
+        sp2, buf2 = selfplay_chunk_fused(
+            env, model, params, cfg.mcts, cfg.replay, syms,
+            sp.replace(rng=rng_use), buf_local, num_steps,
+            interpret=interpret)
+        sp_out = sp2.replace(
+            rng=rng_next,
+            games_done=g0 + jax.lax.psum(sp2.games_done - g0, "data"),
+            env_steps=e0 + jax.lax.psum(sp2.env_steps - e0, "data"),
+            results=r0 + jax.lax.psum(sp2.results - r0, "data"),
+        )
+        return sp_out, jax.tree.map(lambda x: x[None], buf2)
+
+    def run(params, sp: SelfPlayState, buffer: ReplayBuffer):
+        B = sp.t.shape[0]
+        assert (B // n_data) % 128 == 0 or interpret, (B, n_data)
+        sp_specs = _sp_partition_specs(sp, B)
+        buf_specs = jax.tree.map(lambda _: P("data"), buffer)
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), sp_specs, buf_specs),
+            out_specs=(sp_specs, buf_specs),
+            check_vma=False,
+        )(params, sp, buffer)
+
+    return run
 
 
 def make_super_step(env, model, cfg: Config, mesh: Mesh,
                     selfplay_steps: int, train_steps: int,
-                    tensor_parallel: Optional[bool] = None) -> Callable:
+                    tensor_parallel: Optional[bool] = None,
+                    fused_selfplay: Optional[bool] = None,
+                    interpret: bool = False) -> Callable:
     """Build ``super_step(params, sp, buffer, rng) ->
     (params, sp, buffer, rng, metrics)`` jitted over ``mesh``.
 
     The optimizer state is created inside (fresh Adam per epoch — the
     reference's semantics, train.py:92), so only params/sp/buffer shard.
+
+    ``fused_selfplay`` (default: auto-detect) runs the actor phase through
+    the shard_map'd whole-chunk Pallas kernel (make_sharded_selfplay) —
+    the flagship fast path under the mesh.  Requires the dense family, a
+    lane-aligned per-shard batch, and no tensor parallelism.
     """
     if tensor_parallel is None:
         tensor_parallel = (cfg.model.family == "vit"
                            and mesh.shape["model"] > 1)
+    if fused_selfplay is None:
+        from alphazero_tpu.search.pallas_fused import supports_selfplay_fused
+        B_local = cfg.train.selfplay_batch // mesh.shape["data"]
+        fused_selfplay = (not tensor_parallel
+                          and supports_selfplay_fused(env, B_local, cfg.mcts,
+                                                      model))
+    sharded_sp = (make_sharded_selfplay(env, model, cfg, mesh,
+                                        selfplay_steps, interpret=interpret)
+                  if fused_selfplay else None)
     syms = Symmetries(env)
     opt = make_optimizer(cfg.train)
     dsh = data_sharded(mesh)
 
     def super_step(params, sp: SelfPlayState, buffer: ReplayBuffer, rng):
+        # plain flax eval here: a pallas_call cannot be auto-partitioned by
+        # XLA over the mesh — the fused engines enter the SPMD program only
+        # under shard_map (make_sharded_selfplay below), never via this fn
         def eval_fn(obs):
             logits, value = model.apply({"params": params}, obs,
                                         deterministic=True)
             return jax.nn.softmax(logits, axis=-1), value
 
         # ---- actors: K lockstep moves over the sharded game batch
-        def sp_body(carry, _):
-            sp, buffer = carry
-            sp, buffer = selfplay_step(env, eval_fn, cfg.mcts, cfg.replay,
-                                       syms, sp, buffer)
-            return (sp, buffer), None
+        if sharded_sp is not None:
+            sp, buffer = sharded_sp(params, sp, buffer)
+        else:
+            def sp_body(carry, _):
+                sp, buffer = carry
+                sp, buffer = selfplay_step(env, eval_fn, cfg.mcts,
+                                           cfg.replay, syms, sp, buffer)
+                return (sp, buffer), None
 
-        (sp, buffer), _ = jax.lax.scan(sp_body, (sp, buffer), None,
-                                       length=selfplay_steps)
+            (sp, buffer), _ = jax.lax.scan(sp_body, (sp, buffer), None,
+                                           length=selfplay_steps)
 
         # ---- learner: M data-parallel SGD steps
         opt_state = opt.init(params)

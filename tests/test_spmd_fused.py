@@ -1,0 +1,135 @@
+"""shard_map'd whole-chunk fused self-play (parallel/spmd.py
+make_sharded_selfplay) on the 8-virtual-device CPU mesh, interpret mode.
+
+VERDICT r2 Missing #1: the flagship fast path (the multi-move chunk
+kernel) must compose with the 'data' mesh axis instead of falling back to
+the XLA engine.  These tests pin (a) bitwise equality between the
+shard-mapped run and per-shard sequential runs of the SAME kernel with the
+same folded rngs — shard_map adds no cross-shard mixing — and (b) the full
+actor-learner super-step with the fused actor phase end-to-end.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alphazero_tpu.config import (Config, MCTSConfig, ModelConfig,
+                                  ReplayConfig, TrainConfig)
+from alphazero_tpu.data import create_sharded
+from alphazero_tpu.data.augment import Symmetries
+from alphazero_tpu.envs import make_env
+from alphazero_tpu.models import build_model, init_params
+from alphazero_tpu.parallel import make_mesh
+from alphazero_tpu.parallel.spmd import (jit_super_step,
+                                         make_sharded_selfplay,
+                                         make_super_step, shardings_for)
+from alphazero_tpu.training.selfplay import (init_selfplay,
+                                             selfplay_chunk_fused)
+
+
+def _cfg(B):
+    return Config(
+        env="connect4",
+        mcts=MCTSConfig(num_simulations=12, temperature_moves=2,
+                        dirichlet_alpha=0.3),
+        model=ModelConfig(family="dense", width=32, blocks=1,
+                          compute_dtype="float32"),
+        replay=ReplayConfig(capacity=42 * 64),   # 64 game blocks
+        train=TrainConfig(batch_size=16, selfplay_batch=B),
+    )
+
+
+def test_sharded_selfplay_matches_per_shard_sequential():
+    """The shard-mapped chunk run == running the chunk kernel on each
+    shard's slice sequentially with the same folded rng (bitwise)."""
+    S = 8
+    B = 16                      # 2 games per shard
+    M = 6
+    cfg = _cfg(B)
+    env = make_env(cfg.env)
+    model = build_model(cfg.model, env)
+    params = init_params(model, env, jax.random.PRNGKey(0))
+    mesh = make_mesh(n_data=S, n_model=1)
+    syms = Symmetries(env)
+
+    sp = init_selfplay(env, B, jax.random.PRNGKey(1))
+    buf = create_sharded(env, cfg.replay.capacity, S)
+
+    run = make_sharded_selfplay(env, model, cfg, mesh, M, interpret=True)
+    sp_out, buf_out = run(params, sp, buf)
+
+    # ---- per-shard sequential reference with the same folded keys
+    Bs = B // S
+    g_tot = e_tot = 0
+    r_tot = np.zeros(3, np.int64)
+    for s in range(S):
+        sl = slice(s * Bs, (s + 1) * Bs)
+        sp_s = sp.replace(
+            env_state=jax.tree.map(lambda x: x[sl], sp.env_state),
+            traj_obs=sp.traj_obs[sl], traj_policy=sp.traj_policy[sl],
+            t=sp.t[sl], rng=jax.random.fold_in(sp.rng, s),
+        )
+        buf_s = jax.tree.map(lambda x: x[s], buf)
+        sp2, buf2 = selfplay_chunk_fused(
+            env, model, params, cfg.mcts, cfg.replay, syms, sp_s, buf_s, M,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(sp_out.traj_policy[sl]),
+                                      np.asarray(sp2.traj_policy))
+        np.testing.assert_array_equal(np.asarray(sp_out.traj_obs[sl]),
+                                      np.asarray(sp2.traj_obs))
+        np.testing.assert_array_equal(np.asarray(sp_out.t[sl]),
+                                      np.asarray(sp2.t))
+        np.testing.assert_array_equal(
+            np.asarray(sp_out.env_state.board[sl]),
+            np.asarray(sp2.env_state.board))
+        for leaf_o, leaf_s in zip(jax.tree.leaves(
+                jax.tree.map(lambda x: x[s], buf_out)),
+                jax.tree.leaves(buf2)):
+            np.testing.assert_array_equal(np.asarray(leaf_o),
+                                          np.asarray(leaf_s))
+        g_tot += int(sp2.games_done)
+        e_tot += int(sp2.env_steps)
+        r_tot += np.asarray(sp2.results)
+
+    # counters psum to replicated global totals
+    assert int(sp_out.games_done) == g_tot
+    assert int(sp_out.env_steps) == e_tot
+    np.testing.assert_array_equal(np.asarray(sp_out.results), r_tot)
+
+
+def test_super_step_fused_actors_end_to_end():
+    """make_super_step with fused_selfplay=True: sharded chunk-kernel
+    actors + data-parallel learner in ONE jitted program over the mesh."""
+    S = 8
+    B = 16
+    cfg = _cfg(B)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=16))
+    env = make_env(cfg.env)
+    model = build_model(cfg.model, env)
+    params = init_params(model, env, jax.random.PRNGKey(0))
+    mesh = make_mesh(n_data=S, n_model=1)
+    sp = init_selfplay(env, B, jax.random.PRNGKey(1))
+    buf = create_sharded(env, cfg.replay.capacity, S)
+
+    step = make_super_step(env, model, cfg, mesh, selfplay_steps=6,
+                           train_steps=2, tensor_parallel=False,
+                           fused_selfplay=True, interpret=True)
+    p_sh, sp_sh, buf_sh, r_sh = shardings_for(
+        env, model, cfg, mesh, params, sp, buf, tensor_parallel=False)
+    jitted = jax.jit(step, in_shardings=(p_sh, sp_sh, buf_sh, r_sh),
+                     out_shardings=(p_sh, sp_sh, buf_sh, r_sh, None))
+    params2, sp2, buf2, rng, metrics = jitted(
+        jax.device_put(params, p_sh),
+        jax.tree.map(jax.device_put, sp, sp_sh),
+        jax.tree.map(jax.device_put, buf, buf_sh),
+        jax.random.PRNGKey(2))
+
+    assert int(sp2.env_steps) == 6 * B
+    assert np.isfinite(float(metrics.loss))
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)))
+    assert moved
