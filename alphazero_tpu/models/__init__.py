@@ -48,10 +48,22 @@ def make_eval_fn(model, params) -> Callable[[jax.Array], Tuple[jax.Array, jax.Ar
 
     The reference softmaxes the full logit vector with no legal-move masking
     (ai/mcts.py:48); invalid-action priors are simply never selected.
+
+    ResNet family on TPU: the conv tower runs in the fused Pallas kernel
+    (ops/pallas_resnet.py) — the XLA conv forward measured 33-53% MXU at
+    benchmark board sizes.  Inference only; training gradients keep the
+    flax forward.
     """
+    apply = _fast_apply(model)
+    packed = apply.pack(params) if hasattr(apply, "pack") else None
 
     def eval_fn(obs):
-        logits, value = model.apply({"params": params}, obs, deterministic=True)
+        if packed is not None:   # weights packed ONCE, reused per call —
+            # inside a jitted sim loop the packing hoists out as a
+            # loop constant instead of restacking every simulation
+            logits, value = apply.apply_packed(packed, obs)
+        else:
+            logits, value = apply(params, obs)
         return jax.nn.softmax(logits, axis=-1), value
 
     if isinstance(model, DenseTower):
@@ -59,6 +71,21 @@ def make_eval_fn(model, params) -> Callable[[jax.Array], Tuple[jax.Array, jax.Ar
         # (search/pallas_fused.py) when it applies
         eval_fn.dense_spec = (model, params)
     return eval_fn
+
+
+def _fast_apply(model) -> Callable:
+    """``apply(params, obs) -> (logits, value)`` — the fastest available
+    deterministic inference forward for this model on this platform."""
+    if isinstance(model, ResNet):
+        from alphazero_tpu.ops.pallas_resnet import (make_fused_apply,
+                                                     supports_fused_resnet)
+        if supports_fused_resnet(model, 0):
+            return make_fused_apply(model, model.channels, model.blocks)
+
+    def apply(params, obs):
+        return model.apply({"params": params}, obs, deterministic=True)
+
+    return apply
 
 
 __all__ = ["ViT", "ResNet", "DenseTower", "build_model", "init_params",

@@ -256,13 +256,10 @@ def make_selfplay_runner(env, model, mcts_cfg: MCTSConfig,
                                         replay_cfg, syms, sp, buffer,
                                         num_steps)
 
-        def eval_fn(obs):
-            logits, value = model.apply({"params": params}, obs,
-                                        deterministic=True)
-            return jax.nn.softmax(logits, axis=-1), value
-
-        if isinstance(model, DenseTower):
-            eval_fn.dense_spec = (model, params)  # whole-move fused kernel
+        # fastest inference forward for the family (fused resnet tower /
+        # dense_spec for the whole-move kernel)
+        from alphazero_tpu.models import make_eval_fn
+        eval_fn = make_eval_fn(model, params)
 
         def body(carry, _):
             sp, buffer = carry
