@@ -14,8 +14,12 @@ parked im2col machinery of ops/pallas_resnet.py).  Root evaluation +
 Dirichlet noise stay host-side (identical to the other engines); the kernel
 runs simulations 1..S-1.  Numerics: tree math in f32 exactly as the other
 engines; network matmuls in bf16 with f32 accumulation (same class as the
-flax compute path) — forward parity is tested to bf16 tolerance, search
-behavior by invariants + tactics (tests/test_pallas_fused.py).
+flax compute path).  The in-kernel forward is BITWISE-identical to the
+same jnp code compiled by XLA at production batch shapes (value head
+padded to 8 MXU rows — see _pack_dense_params), so whole real-weights
+trajectories are pinned bitwise against the XLA engine on-chip
+(scripts/verify_fused_exact.py); interpret-mode tests pin search logic
+with exact stubs (tests/test_pallas_fused.py).
 
 Reference semantics preserved (ai/mcts.py:11-60, utils.py:29-44,
 ai/node.py:62-74): PUCT with no c_puct, terminal backup +1 mover / 0 draw,
@@ -100,7 +104,12 @@ def _pack_dense_params(model, params):
     ws.append(b2(params["policy_head"], model.action_dim))
     ws.append(wT(params["value_fc"]).astype(BF))
     ws.append(b2(params["value_fc"], model.width // 4))
-    ws.append(wT(params["value_head"]))                       # f32 (1, D/4)
+    # value head padded (1, D/4) → (8, D/4): M=1 f32 dots lower to a VPU
+    # reduction in XLA but the MXU in Mosaic (≈2e-3 divergence); at M=8
+    # both use the MXU and row 0 is bitwise-identical across compilers
+    # (scripts/verify_fused_exact.py real_forward_bitwise)
+    wvh = wT(params["value_head"])                            # f32 (1, D/4)
+    ws.append(jnp.zeros((8, wvh.shape[1]), jnp.float32).at[0:1].set(wvh))
     ws.append(b2(params["value_head"], 1))
     return ws
 
@@ -156,8 +165,10 @@ def _dense_forward(env, model, wrefs, obs, W_lines):
     h = _ln(h, nxt(), nxt())                                  # final_ln
     logits = jnp.dot(nxt(), h, preferred_element_type=jnp.float32) + nxt()
     v = jnp.maximum(_mm(nxt(), h) + nxt(), 0.0)               # value_fc
-    value = jnp.tanh(
-        jnp.dot(nxt(), v, preferred_element_type=jnp.float32) + nxt())
+    value = jnp.tanh(                                         # 8-row head:
+        jnp.dot(nxt(), v,                                     # row 0 real,
+                preferred_element_type=jnp.float32)[0:1]      # rest zero
+        + nxt())
     m = jnp.max(logits, axis=0, keepdims=True)
     e = jnp.exp(logits - m)
     probs = e / jnp.sum(e, axis=0, keepdims=True)
@@ -219,7 +230,7 @@ def _dense_forward_2x(env, model, wrefs, obs, W_lines):
             st["p"] = _mm(Wvfc, st["h"])
         elif si == 2 * nb + 2:   # value hidden relu; value head matmul
             st["p"] = jnp.dot(Wvh, jnp.maximum(st["p"] + bvfc, 0.0),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32)[0:1]
         else:                    # softmax + tanh (pure VPU)
             logits = st["pl"] + bpol
             m = jnp.max(logits, axis=0, keepdims=True)
@@ -245,10 +256,25 @@ def _leaf_eval(env, model, wrefs, obs, W_lines):
         return _dense_forward_2x(env, model, wrefs, obs, W_lines)
     return _dense_forward(env, model, wrefs, obs, W_lines)
 
+def _update_root_cache(A, B, rcv_ref, rcq_ref, a0, depth, do_expand,
+                       leaf_value):
+    """Incremental update of the (A, B) root-child stat mirrors after one
+    simulation's backup: the root child on edge ``a0`` (= apath[0]) gains
+    the same visit increment (enc-coded: +0.5 when the depth-1 leaf just
+    expanded) and signed value the backup wrote into its tree row.  Lanes
+    that never left the root (dead games, depth 0) are skipped."""
+    live1 = depth >= 1
+    ohA = ((_iota(A, B) == a0) & live1).astype(jnp.float32)
+    inc1 = 1.0 + jnp.where((depth == 1) & do_expand, 0.5, 0.0)
+    sign1 = jnp.where((depth - 1) % 2 == 0, 1.0, -1.0)
+    rcv_ref[:] = rcv_ref[:] + ohA * inc1
+    rcq_ref[:] = rcq_ref[:] + ohA * (sign1 * leaf_value)
+
+
 def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
                    W_ref, aux_ref, get_board, rootp, rootmc,
                    visit_s, val_s, pc_s,
-                   path_s, apath_s):
+                   path_s, apath_s, rc=None):
     """Simulations 1..S-1 on an already-initialized tree (root expanded).
 
     Shared by the single-move kernel (root eval host-side) and the
@@ -284,7 +310,10 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
             depth, parent, action, chsel, p0, p1, heights = _descend(
                 env, cfg, Nc, A, B, dcap, visit, val, None,
                 pc_s[:, 0:Nc, :], None, path_s,
-                apath_s, board=(p0_r, p1_r, h0, rootp))
+                apath_s, board=(p0_r, p1_r, h0, rootp),
+                root_cache=(None if rc is None
+                            else (rc[0][:], rc[1][:])),
+                root_pv=slot.astype(jnp.float32))
             root_case = (parent < 0).astype(jnp.float32)
             alloc = ((parent >= 0) & (chsel < 0)).astype(jnp.float32)
 
@@ -326,11 +355,22 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
                 return d + 1, visit, val
 
             # 2x unroll — loop control dominates; overrun plies mask to 0
+            import os
+            bku = int(os.environ.get("AZ_BK_UNROLL", "2"))
+
+            def nbk(c):
+                for _ in range(bku):
+                    c = bk(c)
+                return c
+
             _, visit, val = jax.lax.while_loop(
-                lambda c: c[0] <= dmax, lambda c: bk(bk(c)),
-                (0, visit, val))
+                lambda c: c[0] <= dmax, nbk, (0, visit, val))
             visit_s[0:Nc, :] = visit
             val_s[0:Nc, :] = val
+            if rc is not None:
+                _update_root_cache(A, B, rc[0], rc[1],
+                                   apath_s[pl.ds(0, 1), :], depth,
+                                   do_expand, leaf_value)
             return 0
 
         return sim
@@ -338,8 +378,10 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
     # Segment the sim loop so early simulations run on small tree windows.
     # Row budget: simulation s backs up into row ``leaf`` ≤ s, so sims
     # [lo, hi) need Nc ≥ hi rows (rounded to the 8-sublane tile).
+    import os
     S = cfg.num_simulations
-    n_seg = 4 if S >= 128 else (2 if S >= 64 else 1)
+    n_seg = int(os.environ.get(
+        "AZ_NSEG", 4 if S >= 128 else (2 if S >= 64 else 1)))
     lo = 1
     for k in range(1, n_seg + 1):
         hi = min(S, -(-S * k) // n_seg)
@@ -350,7 +392,7 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
 
 def _descend_leaf(env, cfg, model, dcap, W_ref, aux_ref, get_board, rootp,
                   rootmc, visit_s, val_s, pc_s, path_s,
-                  apath_s, Nc, slot):
+                  apath_s, Nc, slot, rc=None):
     """Descend + leaf machinery of one simulation (no tree writes except
     path/apath); returns the pending leaf state for a later apply.
     ``pc_s`` is the PACKED (child_id+2)+prior_frac edge array."""
@@ -365,7 +407,9 @@ def _descend_leaf(env, cfg, model, dcap, W_ref, aux_ref, get_board, rootp,
     depth, parent, action, chsel, p0, p1, heights = _descend(
         env, cfg, Nc, A, B, dcap, visit_s[0:Nc, :], val_s[0:Nc, :], None,
         pc_s[:, 0:Nc, :], None, path_s, apath_s,
-        board=(p0_r, p1_r, h0, rootp))
+        board=(p0_r, p1_r, h0, rootp),
+        root_cache=(None if rc is None else (rc[0][:], rc[1][:])),
+        root_pv=slot.astype(jnp.float32))
     root_case = (parent < 0).astype(jnp.float32)
     alloc = ((parent >= 0) & (chsel < 0)).astype(jnp.float32)
     leaf, terminal, tval, obs, valid = _leaf_finish(
@@ -375,11 +419,12 @@ def _descend_leaf(env, cfg, model, dcap, W_ref, aux_ref, get_board, rootp,
     # bool (i1) vectors in scf.for carries, so keep fields f32/i32
     return dict(obs=obs, valid=valid, depth=depth, parent=parent,
                 action=action, alloc=alloc, leaf=leaf,
-                terminal=terminal.astype(jnp.float32), tval=tval)
+                terminal=terminal.astype(jnp.float32), tval=tval,
+                a0=apath_s[pl.ds(0, 1), :])
 
 
 def _apply_sim(env, dcap, visit_s, val_s, pc_s, path_s,
-               Nc, slot, pend, probs, value):
+               Nc, slot, pend, probs, value, rc=None):
     """Expansion + backup of a completed simulation (enc-coded visit,
     packed prior+children edges)."""
     A = env.action_dim
@@ -421,6 +466,9 @@ def _apply_sim(env, dcap, visit_s, val_s, pc_s, path_s,
         (0, visit_s[0:Nc, :], val_s[0:Nc, :]))
     visit_s[0:Nc, :] = visit
     val_s[0:Nc, :] = val
+    if rc is not None:
+        _update_root_cache(A, B, rc[0], rc[1], pend["a0"], depth,
+                           do_expand, leaf_value)
 
 
 def _run_move_sims_2x(env, cfg: MCTSConfig, model, dcap: int, wrefs,
@@ -442,15 +490,15 @@ def _run_move_sims_2x(env, cfg: MCTSConfig, model, dcap: int, wrefs,
 
     def dl(h, Nc, slot):
         (get_board, rootp, rootmc, visit_s, val_s, pc_s,
-         path_s, apath_s) = halves[h]
+         path_s, apath_s, rc) = halves[h]
         return _descend_leaf(env, cfg, model, dcap, W_ref, aux_ref,
                              get_board, rootp, rootmc, visit_s, val_s,
-                             pc_s, path_s, apath_s, Nc, slot)
+                             pc_s, path_s, apath_s, Nc, slot, rc=rc)
 
     def ap(h, Nc, slot, pend, probs, value):
-        (_, _, _, visit_s, val_s, pc_s, path_s, _) = halves[h]
+        (_, _, _, visit_s, val_s, pc_s, path_s, _, rc) = halves[h]
         _apply_sim(env, dcap, visit_s, val_s, pc_s, path_s,
-                   Nc, slot, pend, probs, value)
+                   Nc, slot, pend, probs, value, rc=rc)
 
     def fwd(obs):
         return _leaf_eval(env, model, wrefs, obs, W_ref[:])
@@ -487,21 +535,26 @@ def _run_move_sims_2x(env, cfg: MCTSConfig, model, dcap: int, wrefs,
     del carry
 
 
-def _root_counts(env, visit_s, pc_s, val_s):
+def _root_counts(env, visit_s, pc_s, val_s, rcv=None):
     """Root visit counts (A, B) and root Q (1, B) from the tree arrays.
     ``visit_s`` is enc-coded (visit + 0.5·expanded): floor decodes;
-    ``pc_s`` is packed (child_id+2)+prior_frac."""
+    ``pc_s`` is packed (child_id+2)+prior_frac.  With ``rcv`` (the (A, B)
+    root-child visit mirror) the counts are a single floor/mask instead of
+    the per-action one-hot gather loop."""
     A = env.action_dim
     N, B = visit_s.shape
     visit = visit_s[:]
     crow = jnp.floor(pc_s[:, 0, :]) - 2.0                      # (A, B)
-    cnt = []
-    for a in range(A):
-        oh = (_iota(N, B) == crow[a:a + 1, :].astype(jnp.int32)) \
-            .astype(jnp.float32)
-        cnt.append(jnp.sum(visit * oh, axis=0, keepdims=True))
-    counts = jnp.where(crow >= 0, jnp.floor(jnp.concatenate(cnt, axis=0)),
-                       0.0)
+    if rcv is not None:
+        counts = jnp.where(crow >= 0, jnp.floor(rcv[:]), 0.0)
+    else:
+        cnt = []
+        for a in range(A):
+            oh = (_iota(N, B) == crow[a:a + 1, :].astype(jnp.int32)) \
+                .astype(jnp.float32)
+            cnt.append(jnp.sum(visit * oh, axis=0, keepdims=True))
+        counts = jnp.where(crow >= 0,
+                           jnp.floor(jnp.concatenate(cnt, axis=0)), 0.0)
     rootq = val_s[0:1, :] / jnp.maximum(jnp.floor(visit[0:1, :]), 1.0)
     return counts, rootq
 
@@ -522,7 +575,7 @@ def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
      W_ref, aux_ref) = refs[:8]
     wrefs = refs[8:8 + n_w]
     counts_ref, rootq_ref = refs[8 + n_w:10 + n_w]
-    (visit_s, val_s, pc_s, path_s, apath_s) = refs[10 + n_w:]
+    (visit_s, val_s, pc_s, path_s, apath_s, rcv_s, rcq_s) = refs[10 + n_w:]
 
     A = env.action_dim
     N = visit_s.shape[0]
@@ -542,15 +595,18 @@ def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
     rp = rprior_ref[:]
     pc_s[:] = jnp.zeros((A, N, B), jnp.float32)
     pc_s[:, 0, :] = jnp.where(rp > -1e29, 1.0 + _qfrac(rp), 0.0)
+    rcv_s[:] = jnp.zeros((A, B), jnp.float32)
+    rcq_s[:] = jnp.zeros((A, B), jnp.float32)
 
     def get_board():
         return (board_ref[0, :, :].astype(jnp.float32),
                 board_ref[1, :, :].astype(jnp.float32))
 
     _run_move_sims(env, cfg, model, dcap, wrefs, W_ref, aux_ref, get_board,
-                   rootp, rootmc, visit_s, val_s, pc_s, path_s, apath_s)
+                   rootp, rootmc, visit_s, val_s, pc_s, path_s, apath_s,
+                   rc=(rcv_s, rcq_s))
 
-    counts, rootq = _root_counts(env, visit_s, pc_s, val_s)
+    counts, rootq = _root_counts(env, visit_s, pc_s, val_s, rcv=rcv_s)
     counts_ref[:] = counts
     rootq_ref[:] = rootq
 
@@ -645,9 +701,10 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
     scratch = refs[13 + n_w:]
     if pipelined:
         (visit0, visit1, val0, val1, pc0, pc1,
-         path0, path1, apath0, apath1) = scratch
+         path0, path1, apath0, apath1,
+         rcv0, rcv1, rcq0, rcq1) = scratch
     else:
-        (visit_s, val_s, pc_s, path_s, apath_s) = scratch
+        (visit_s, val_s, pc_s, path_s, apath_s, rcv_s, rcq_s) = scratch
 
     A = env.action_dim
     RC = env.rows * env.cols
@@ -706,9 +763,9 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
         root_pc = jnp.where(valid > 0, 1.0 + _qfrac(probs0), 0.0)
         if pipelined:
             halves = []
-            for h, (v_s, l_s, p_s, pa_s, ap_s) in enumerate(
-                    [(visit0, val0, pc0, path0, apath0),
-                     (visit1, val1, pc1, path1, apath1)]):
+            for h, (v_s, l_s, p_s, pa_s, ap_s, rv_s, rq_s) in enumerate(
+                    [(visit0, val0, pc0, path0, apath0, rcv0, rcq0),
+                     (visit1, val1, pc1, path1, apath1, rcv1, rcq1)]):
                 sl = slice(h * H, (h + 1) * H)
                 v_s[:] = jnp.zeros((N, H), jnp.float32)
                 l_s[:] = jnp.zeros((N, H), jnp.float32)
@@ -716,14 +773,16 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
                 l_s[0:1, :] = -value0[:, sl]
                 p_s[:] = jnp.zeros((A, N, H), jnp.float32)
                 p_s[:, 0, :] = root_pc[:, sl]
+                rv_s[:] = jnp.zeros((A, H), jnp.float32)
+                rq_s[:] = jnp.zeros((A, H), jnp.float32)
                 halves.append((
                     (lambda s=sl: (p0[:, s], p1[:, s])),
                     player[:, sl], mc[:, sl],
-                    v_s, l_s, p_s, pa_s, ap_s))
+                    v_s, l_s, p_s, pa_s, ap_s, (rv_s, rq_s)))
             _run_move_sims_2x(env, cfg, model, dcap, wrefs, W_ref,
                               aux_ref, halves)
-            c0, q0 = _root_counts(env, visit0, pc0, val0)
-            c1, q1 = _root_counts(env, visit1, pc1, val1)
+            c0, q0 = _root_counts(env, visit0, pc0, val0, rcv=rcv0)
+            c1, q1 = _root_counts(env, visit1, pc1, val1, rcv=rcv1)
             counts = jnp.concatenate([c0, c1], axis=1)
             rootq = jnp.concatenate([q0, q1], axis=1)
         else:
@@ -733,12 +792,15 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
             val_s[0:1, :] = -value0
             pc_s[:] = jnp.zeros((A, N, B), jnp.float32)
             pc_s[:, 0, :] = root_pc
+            rcv_s[:] = jnp.zeros((A, B), jnp.float32)
+            rcq_s[:] = jnp.zeros((A, B), jnp.float32)
 
             _run_move_sims(env, cfg, model, dcap, wrefs, W_ref, aux_ref,
                            lambda: (p0, p1), player, mc, visit_s, val_s,
-                           pc_s, path_s, apath_s)
+                           pc_s, path_s, apath_s, rc=(rcv_s, rcq_s))
 
-            counts, rootq = _root_counts(env, visit_s, pc_s, val_s)
+            counts, rootq = _root_counts(env, visit_s, pc_s, val_s,
+                                         rcv=rcv_s)
         total = jnp.maximum(jnp.sum(counts, axis=0, keepdims=True), 1.0)
         policy = counts / total
 
@@ -865,6 +927,10 @@ def run_selfplay_chunk_fused(env, model, params, boards, players,
             scratch += [pltpu.VMEM((dcap, H), jnp.int32)]  # path
         for _ in range(2):
             scratch += [pltpu.VMEM((dcap, H), jnp.int32)]  # apath
+        for _ in range(2):
+            scratch += [pltpu.VMEM((A, H), jnp.float32)]   # root cvisit
+        for _ in range(2):
+            scratch += [pltpu.VMEM((A, H), jnp.float32)]   # root cval
     else:
         scratch = [
             pltpu.VMEM((N, B), jnp.float32),             # visit (enc)
@@ -872,6 +938,8 @@ def run_selfplay_chunk_fused(env, model, params, boards, players,
             pltpu.VMEM((A, N, B), jnp.float32),          # packed edges
             pltpu.VMEM((dcap, B), jnp.int32),            # path
             pltpu.VMEM((dcap, B), jnp.int32),            # apath
+            pltpu.VMEM((A, B), jnp.float32),             # root cvisit
+            pltpu.VMEM((A, B), jnp.float32),             # root cval
         ]
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     kern = pl.pallas_call(
@@ -984,6 +1052,8 @@ def run_mcts_fused(env, model, params, eval_fn, boards, players,
             pltpu.VMEM((A, N, B), jnp.float32),          # packed edges
             pltpu.VMEM((dcap, B), jnp.int32),            # path
             pltpu.VMEM((dcap, B), jnp.int32),            # apath
+            pltpu.VMEM((A, B), jnp.float32),             # root cvisit
+            pltpu.VMEM((A, B), jnp.float32),             # root cval
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -169,7 +169,8 @@ def _apply_update(env, N, A, B, dcap, stats, prior_ref, children_ref,
 
 
 def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
-             path_ref, apath_ref, path_off=0, board=None):
+             path_ref, apath_ref, path_off=0, board=None,
+             root_cache=None, root_pv=None):
     """UCB walk root→frontier; records interior nodes/actions into
     path/apath refs (path rows at ``path_off``..``path_off+dcap`` — leaf-
     batched rounds give each rank its own path segment).  Returns
@@ -191,7 +192,15 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
     — f32 has 2⁻¹⁵ resolution there) and integer part 0 encodes an
     illegal action.  One row gather replaces the separate prior+children
     gathers — with ENC that is 2 gather passes/step instead of the
-    original 4."""
+    original 4.
+
+    ``root_cache=(rc_visit, rc_val)`` (packed+enc+board mode only) peels
+    the d=0 step out of the walk: every simulation's FIRST step reads the
+    root's child stats from dedicated ``(A, B)`` mirror arrays (maintained
+    incrementally by the backup — see ``_update_root_cache``) instead of
+    the O(A·N·B) one-hot gathers, and the root's own visit count is the
+    closed-form ``root_pv`` (= simulation slot: the root gains exactly one
+    visit per simulation).  Bitwise-identical to the unpeeled walk."""
     R, C = env.rows, env.cols
     RC = R * C
     enc = expd is None
@@ -307,11 +316,76 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
     init = (0, node0, pv0, stop0, depth0, parent0, action0, chsel0)
     if board is not None:
         init = init + (p0_0, p1_0, h0)
-    # 4x unroll: quarters the loop-control overhead (branch + cross-lane
-    # `min(stop)` reduction + scalar sync per iteration); overrun bodies
-    # are exact no-ops (every lane frozen).
-    res = jax.lax.while_loop(cond, lambda c: body(body(body(body(c)))),
-                             init)
+
+    if root_cache is not None:
+        # ---- peeled d=0 step: child stats from the (A, B) root mirror,
+        # root visits = root_pv (scalar).  Mirrors the body below exactly.
+        assert packed and enc and board is not None
+        rc_visit, rc_val = root_cache
+        pc0 = prior[:, 0, :]                                  # (A, B)
+        fl0 = jnp.floor(pc0)
+        crow0 = fl0 - 2.0
+        prow0 = (pc0 - fl0) * 2.0
+        cfloor0 = jnp.floor(rc_visit)
+        cexp0 = (rc_visit - cfloor0) * 2.0
+        q0 = jnp.where(cfloor0 > 0, rc_val / jnp.maximum(cfloor0, 1.0), 0.0)
+        explore0 = prow0 * (jnp.sqrt(root_pv) / (cfloor0 + 1.0))
+        if cfg.formula == "alphazero":
+            explore0 = cfg.c_puct * explore0
+        ucb0 = jnp.where(fl0 == 0, NEG, q0 + explore0)
+        act0 = _argmax_first(ucb0, A, B)                      # (1, B)
+        act0_oh = (_iota(A, B) == act0).astype(jnp.float32)
+        c_sel0 = jnp.sum(crow0 * act0_oh, axis=0, keepdims=True)
+        v_sel0 = jnp.sum(cfloor0 * act0_oh, axis=0, keepdims=True)
+        e_sel0 = jnp.sum(cexp0 * act0_oh, axis=0, keepdims=True)
+        now_stop0 = ((c_sel0 < 0) | (e_sel0 == 0)).astype(jnp.int32)
+        frozen0 = stop0 > 0
+        prow_old = path_ref[pl.ds(path_off, 1), :]
+        arow_old = apath_ref[pl.ds(0, 1), :]
+        path_ref[pl.ds(path_off, 1), :] = jnp.where(frozen0, prow_old,
+                                                    node0)
+        apath_ref[pl.ds(0, 1), :] = jnp.where(frozen0, arow_old, act0)
+        parent1 = jnp.where(frozen0, parent0, node0)
+        action1 = jnp.where(frozen0, action0, act0)
+        chsel1 = jnp.where(frozen0, chsel0, c_sel0)
+        depth1 = jnp.where(frozen0, depth0, 1)
+        node1 = jnp.where(frozen0 | (now_stop0 > 0), node0,
+                          c_sel0.astype(jnp.int32))
+        pv1 = jnp.where(frozen0, pv0, v_sel0)
+        stop1 = jnp.maximum(stop0, now_stop0)
+        # apply the root move for active lanes (body's board update at d=0)
+        active0 = 1.0 - frozen0.astype(jnp.float32)
+        p0_1, p1_1, h1 = p0_0, p1_0, h0
+        if env.name == "connect4":
+            col_oh0 = (_iota(C, B) == act0).astype(jnp.float32)
+            hh = jnp.sum(h0 * col_oh0, axis=0, keepdims=True)
+            cell0 = (R - 1 - hh.astype(jnp.int32)) * C + act0
+            h1 = h0 + col_oh0 * active0
+        else:
+            cell0 = act0
+        cell_oh0 = (_iota(RC, B) == cell0).astype(jnp.float32) * active0
+        is0_0 = (rootp == 0).astype(jnp.float32)              # mover at d=0
+        p0_1 = p0_0 + cell_oh0 * is0_0
+        p1_1 = p1_0 + cell_oh0 * (1.0 - is0_0)
+        init = (1, node1, pv1, stop1, depth1, parent1, action1, chsel1,
+                p0_1, p1_1, h1)
+    # Unrolling trades loop-control overhead (branch + cross-lane
+    # `min(stop)` reduction + scalar sync per iteration) against wasted
+    # overrun bodies — the loop runs until the DEEPEST lane of the batch
+    # stops, and frozen lanes still execute full-cost (exact no-op)
+    # bodies.  Measured on v5e (scripts/prof_tune.py, connect4 flagship):
+    # 2x wins once the root peel shortens every walk by one step
+    # (78.6k env-steps/s vs 74.1k at 4x, 74.2k at 1x, 74.5k at 3x).
+    import os
+    unroll = int(os.environ.get("AZ_DESC_UNROLL",
+                                "2" if root_cache is not None else "4"))
+
+    def nbody(c):
+        for _ in range(unroll):
+            c = body(c)
+        return c
+
+    res = jax.lax.while_loop(cond, nbody, init)
     depth, parent, action, chsel = res[4:8]
     if board is not None:
         return depth, parent, action, chsel, res[8], res[9], res[10]
