@@ -30,20 +30,75 @@ def _build(preset_name: str):
     return cfg, env, model
 
 
+def _parse_mesh(spec: str):
+    """'data=8' / 'data=4,model=2' → (n_data, n_model)."""
+    n = {"data": None, "model": 1}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        if k not in n or not v.isdigit():
+            raise SystemExit(f"bad --mesh spec {spec!r}; "
+                             "expected data=N[,model=M]")
+        n[k] = int(v)
+    return n["data"], n["model"]
+
+
+def _apply_overrides(cfg, args):
+    tr_over = {}
+    if args.games_per_iter:
+        tr_over["games_per_iter"] = args.games_per_iter
+    if args.selfplay_batch:
+        tr_over["selfplay_batch"] = args.selfplay_batch
+    if args.batch_size:
+        tr_over["batch_size"] = args.batch_size
+    if args.gate_games:
+        tr_over["gate_games"] = args.gate_games
+    if args.no_gate:
+        tr_over["gate_enabled"] = False
+    if tr_over:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, **tr_over))
+    if args.sims:
+        cfg = dataclasses.replace(
+            cfg, mcts=dataclasses.replace(cfg.mcts,
+                                          num_simulations=args.sims))
+    if args.capacity:
+        cfg = dataclasses.replace(
+            cfg, replay=dataclasses.replace(cfg.replay,
+                                            capacity=args.capacity))
+    return cfg
+
+
 def cmd_train(args):
+    import os
+
     from alphazero_tpu.config import preset
     from alphazero_tpu.training.loop import Trainer
     from alphazero_tpu.utils.metrics import MetricsLogger
 
     cfg = preset(args.preset)
-    if args.games_per_iter:
-        cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train,
-                                           games_per_iter=args.games_per_iter))
+    cfg = _apply_overrides(cfg, args)
     logger = MetricsLogger(path=f"{args.workdir}/metrics.jsonl"
                            if args.workdir else None)
-    tr = Trainer(cfg, workdir=args.workdir, logger=logger,
-                 display=args.display)
+    if args.mesh:
+        # multi-chip path: wire the multi-host runtime (no-op when single
+        # process), build the mesh, drive the SPMD programs
+        from alphazero_tpu.parallel.distributed import (initialize,
+                                                        process_info)
+        from alphazero_tpu.parallel.mesh import make_mesh
+        from alphazero_tpu.training.spmd_loop import SpmdTrainer
+
+        if initialize(args.coordinator, args.num_processes, args.process_id):
+            print(f"multi-host: {process_info()}", file=sys.stderr)
+        n_data, n_model = _parse_mesh(args.mesh)
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        tr = SpmdTrainer(
+            cfg, mesh=mesh, workdir=args.workdir, logger=logger,
+            display=args.display,
+            interpret=bool(os.environ.get("AZ_SPMD_INTERPRET")))
+        print(f"mesh: {dict(mesh.shape)}", file=sys.stderr)
+    else:
+        tr = Trainer(cfg, workdir=args.workdir, logger=logger,
+                     display=args.display)
     if args.load_buffer:
         n = tr.import_buffer(args.load_buffer, step=args.load_buffer_step)
         print(f"imported {n} buffer rows from {args.load_buffer}",
@@ -173,6 +228,30 @@ def main(argv=None):
                         "before training, transferring matching params "
                         "(reference expand_transformer_layers, "
                         "main.py:99-120); combine with --resume")
+    t.add_argument("--mesh", default=None,
+                   help="train over a device mesh: data=N[,model=M] — "
+                        "game batch / buffer / learner batch shard over "
+                        "'data', the ViT tensor-parallels over 'model' "
+                        "(training/spmd_loop.py)")
+    t.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address for "
+                        "jax.distributed.initialize (pod launchers set "
+                        "this via env; no-op single-process)")
+    t.add_argument("--num-processes", type=int, default=None)
+    t.add_argument("--process-id", type=int, default=None)
+    t.add_argument("--selfplay-batch", type=int, default=None,
+                   help="override the preset's parallel self-play games")
+    t.add_argument("--batch-size", type=int, default=None,
+                   help="override the preset's SGD batch size")
+    t.add_argument("--sims", type=int, default=None,
+                   help="override the preset's MCTS simulations per move")
+    t.add_argument("--capacity", type=int, default=None,
+                   help="override the preset's replay capacity (positions)")
+    t.add_argument("--gate-games", type=int, default=None,
+                   help="override the preset's gating arena game count")
+    t.add_argument("--no-gate", action="store_true",
+                   help="disable the promotion gate (reference-stub "
+                        "parity, main.py:48-50)")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval", help="arena comparison")

@@ -97,6 +97,121 @@ def make_sharded_selfplay(env, model, cfg: Config, mesh: Mesh,
     return run
 
 
+def buffer_ready(buffer: ReplayBuffer):
+    """Warm-up gate: True once EVERY shard's ring holds at least one game.
+    Training earlier would dilute batches with all-zero rows from empty
+    shards (data/replay.py sample warm-up note)."""
+    return jnp.min(buffer.size) > 0
+
+
+def make_collect_chunk(env, model, cfg: Config, mesh: Mesh, num_steps: int,
+                       tensor_parallel: Optional[bool] = None,
+                       fused_selfplay: Optional[bool] = None,
+                       interpret: bool = False) -> Callable:
+    """Build the actor phase as its own program over ``mesh``:
+    ``collect(params, sp, buffer) -> (sp, buffer)`` — K lockstep self-play
+    moves for the sharded game batch, writes into the sharded buffer.
+
+    Same auto-detection as :func:`make_super_step`: the dense family rides
+    the shard_map'd whole-chunk Pallas kernel, other families scan the
+    per-move batched search with the flax forward (optionally
+    tensor-parallel over 'model')."""
+    if tensor_parallel is None:
+        tensor_parallel = (cfg.model.family == "vit"
+                           and mesh.shape["model"] > 1)
+    if fused_selfplay is None:
+        from alphazero_tpu.models.dense import DenseTower
+        from alphazero_tpu.search.pallas_fused import supports_selfplay_fused
+        B_local = cfg.train.selfplay_batch // mesh.shape["data"]
+        if interpret:   # CPU-mesh tests/dryruns: interpret mode stands in
+            # for Mosaic, so only the family/mode gates apply
+            fused_selfplay = (not tensor_parallel
+                              and isinstance(model, DenseTower)
+                              and cfg.mcts.leaf_batch == 1)
+        else:
+            fused_selfplay = (not tensor_parallel
+                              and supports_selfplay_fused(env, B_local,
+                                                          cfg.mcts, model))
+    if fused_selfplay:
+        return make_sharded_selfplay(env, model, cfg, mesh, num_steps,
+                                     interpret=interpret)
+    syms = Symmetries(env)
+
+    def collect(params, sp: SelfPlayState, buffer: ReplayBuffer):
+        def eval_fn(obs):
+            logits, value = model.apply({"params": params}, obs,
+                                        deterministic=True)
+            return jax.nn.softmax(logits, axis=-1), value
+
+        def body(carry, _):
+            sp, buffer = carry
+            sp, buffer = selfplay_step(env, eval_fn, cfg.mcts, cfg.replay,
+                                       syms, sp, buffer)
+            return (sp, buffer), None
+
+        (sp, buffer), _ = jax.lax.scan(body, (sp, buffer), None,
+                                       length=num_steps)
+        return sp, buffer
+
+    return collect
+
+
+def make_train_chunk(env, model, cfg: Config, mesh: Mesh,
+                     num_steps: int) -> Callable:
+    """Build the learner phase as its own program over ``mesh``:
+    ``train(params, opt_state, buffer, rng) -> (params, opt_state, rng,
+    metrics, trained)`` — ``num_steps`` data-parallel SGD steps whose batch
+    shards over 'data' (gradient psum inserted by XLA).
+
+    Unlike the fused super-step, the optimizer state is threaded through so
+    an epoch of many chunks keeps ONE fresh-Adam state (the reference's
+    per-epoch reset, train.py:92).  The whole chunk no-ops (``trained`` =
+    False, zero metrics) until :func:`buffer_ready` — the warm-up gate."""
+    from alphazero_tpu.training.learner import TrainMetrics
+    syms = Symmetries(env)
+    opt = make_optimizer(cfg.train)
+    dsh = data_sharded(mesh)
+
+    def train(params, opt_state, buffer: ReplayBuffer, rng):
+        def tr_body(carry, _):
+            params, opt_state, rng = carry
+            rng, k = jax.random.split(rng)
+            obs, pol, val = sample(
+                buffer, k, cfg.train.batch_size,
+                syms if cfg.replay.augment else None,
+                cfg.replay.augment_skip_moves)
+            obs = jax.lax.with_sharding_constraint(obs, dsh)
+            pol = jax.lax.with_sharding_constraint(pol, dsh)
+            val = jax.lax.with_sharding_constraint(val, dsh)
+            grads, metrics = jax.grad(
+                lambda p: loss_fn(model, p, obs, pol, val,
+                                  cfg.train.l2_coeff),
+                has_aux=True,
+            )(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            import optax
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), metrics
+
+        ready = (buffer_ready(buffer) if buffer.cursor.ndim == 1
+                 else buffer.size > 0)
+
+        def do(carry):
+            return jax.lax.scan(tr_body, carry, None, length=num_steps)
+
+        def skip(carry):
+            zeros = TrainMetrics(*(jnp.zeros((num_steps,), jnp.float32)
+                                   for _ in range(4)))
+            return carry, zeros
+
+        (params, opt_state, rng), metrics = jax.lax.cond(
+            ready, do, skip, (params, opt_state, rng))
+        return (params, opt_state, rng,
+                jax.tree.map(jnp.mean, metrics), ready)
+
+    return train
+
+
 def make_super_step(env, model, cfg: Config, mesh: Mesh,
                     selfplay_steps: int, train_steps: int,
                     tensor_parallel: Optional[bool] = None,
@@ -176,9 +291,23 @@ def make_super_step(env, model, cfg: Config, mesh: Mesh,
             params = optax.apply_updates(params, updates)
             return (params, opt_state, rng), metrics
 
-        (params, opt_state, rng), metrics = jax.lax.scan(
-            tr_body, (params, opt_state, rng), None, length=train_steps
-        )
+        # warm-up gate: skip the learner until every shard's ring holds a
+        # game — training earlier dilutes batches with zero rows from
+        # still-empty shards (data/replay.py sample warm-up note)
+        from alphazero_tpu.training.learner import TrainMetrics
+        ready = (buffer_ready(buffer) if buffer.cursor.ndim == 1
+                 else buffer.size > 0)
+
+        def do(carry):
+            return jax.lax.scan(tr_body, carry, None, length=train_steps)
+
+        def skip(carry):
+            zeros = TrainMetrics(*(jnp.zeros((train_steps,), jnp.float32)
+                                   for _ in range(4)))
+            return carry, zeros
+
+        (params, opt_state, rng), metrics = jax.lax.cond(
+            ready, do, skip, (params, opt_state, rng))
         mean_metrics = jax.tree.map(jnp.mean, metrics)
         return params, sp, buffer, rng, mean_metrics
 

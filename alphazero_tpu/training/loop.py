@@ -33,7 +33,9 @@ from alphazero_tpu.utils.metrics import MetricsLogger
 # Static scan lengths so each jit compiles once.  32 self-play moves per
 # dispatch amortizes per-chunk costs (Dirichlet noise generation is
 # call-overhead-bound: 0.59 ms/move at 8-move chunks, 0.05 at 32+).
-SELFPLAY_CHUNK_STEPS = 32
+# AZ_CHUNK_STEPS overrides for profiling and interpret-mode dryruns.
+import os as _os
+SELFPLAY_CHUNK_STEPS = int(_os.environ.get("AZ_CHUNK_STEPS", "32"))
 TRAIN_CHUNK_STEPS = 32
 
 
