@@ -136,6 +136,23 @@ def _run_train(tr, args):
     tr.run(args.iterations)
 
 
+def _run_cfg(cfg, workdir):
+    """Rebuild a run's env/model from the config stored beside its
+    checkpoints (config.json, written by Trainer) so checkpoints trained
+    at any depth/width restore correctly; search/arena settings stay the
+    caller's.  Falls back to the caller's config for pre-config runs."""
+    import dataclasses as dc
+
+    from alphazero_tpu.config import load_config
+    stored = load_config(workdir) if workdir else None
+    if stored is None:
+        return cfg
+    # env/model define the net; replay geometry must match the stored
+    # buffer or the Orbax restore shape-checks fail
+    return dc.replace(cfg, env=stored.env, model=stored.model,
+                      replay=stored.replay)
+
+
 def cmd_eval(args):
     import jax
 
@@ -144,7 +161,7 @@ def cmd_eval(args):
     from alphazero_tpu.models import make_eval_fn
     from alphazero_tpu.training.loop import Trainer
 
-    cfg = preset(args.preset)
+    cfg = _run_cfg(preset(args.preset), args.workdir)
     tr = Trainer(cfg, workdir=args.workdir)
     if args.workdir and tr.restore_checkpoint(step=args.step):
         print(f"loaded version {tr.version}", file=sys.stderr)
@@ -156,9 +173,15 @@ def cmd_eval(args):
     elif args.vs == "self":  # best vs contender of the same checkpoint
         other = Agent(make_eval_fn(tr.model, tr.params_new), cfg.mcts)
     else:  # checkpoint: any version vs any version, any workdir — the
-        # reference's eval mode loads two arbitrary model files
-        # (main.py:181-197 → test.py:106)
-        trb = Trainer(cfg, workdir=args.workdir_b or args.workdir)
+        # reference's eval mode loads two independently-configured nets
+        # (main.py:181-197 → test.py:106); the opponent's architecture
+        # comes from ITS stored config, so heterogeneous models compare
+        cfg_b = _run_cfg(cfg, args.workdir_b or args.workdir)
+        if cfg_b.env != cfg.env:
+            print(f"--vs checkpoint: env mismatch ({cfg_b.env} vs "
+                  f"{cfg.env})", file=sys.stderr)
+            sys.exit(1)
+        trb = Trainer(cfg_b, workdir=args.workdir_b or args.workdir)
         if not trb.restore_checkpoint(step=args.step_b):
             print("--vs checkpoint: no checkpoint found at "
                   f"{args.workdir_b or args.workdir} step={args.step_b}",
@@ -187,6 +210,7 @@ def cmd_play(args):
         from alphazero_tpu.envs import make_env
         env = make_env(cfg.env)
     else:
+        cfg = _run_cfg(cfg, args.workdir)
         tr = Trainer(cfg, workdir=args.workdir)
         if args.workdir:
             tr.restore_checkpoint()

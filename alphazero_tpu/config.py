@@ -8,6 +8,8 @@ per-game presets mirroring BASELINE.json's benchmark configs.
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 from typing import Optional, Tuple
 
 
@@ -118,6 +120,43 @@ class Config:
     mesh: MeshConfig = MeshConfig()
 
 
+# ------------------------------------------------------------- (de)serialize
+# The reference never records a run's model architecture — its eval mode
+# relies on the operator re-typing the right Net hyperparameters
+# (main.py:181-197).  Persisting the config beside checkpoints lets eval /
+# resume rebuild a checkpoint's exact model without guessing.
+
+def to_json(cfg: Config) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=1)
+
+
+def from_json(s: str) -> Config:
+    d = json.loads(s)
+    return Config(
+        env=d["env"],
+        mcts=MCTSConfig(**d["mcts"]),
+        model=ModelConfig(**d["model"]),
+        replay=ReplayConfig(**d["replay"]),
+        train=TrainConfig(**d["train"]),
+        mesh=MeshConfig(**d.get("mesh", {})),
+    )
+
+
+def save_config(cfg: Config, workdir: str):
+    os.makedirs(workdir, exist_ok=True)
+    with open(os.path.join(workdir, "config.json"), "w") as f:
+        f.write(to_json(cfg))
+
+
+def load_config(workdir: str) -> Optional[Config]:
+    """The config stored beside a run's checkpoints, or None."""
+    path = os.path.join(workdir, "config.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return from_json(f.read())
+
+
 # ---------------------------------------------------------------- presets
 # Mirror BASELINE.json's benchmark configs.
 
@@ -148,7 +187,12 @@ def preset(name: str) -> Config:
                               games_per_iter=512),
         ),
         # The conv-ResNet variant of the flagship (kept for comparison /
-        # larger boards where convs pay off).
+        # larger boards where convs pay off).  Round-4 measurements
+        # (docs/DESIGN.md leaf-batching section): leaf batching is SLOWER
+        # at every K, and B=1024 — though +5.5% in a standalone search
+        # probe — exceeds the per-sim kernel's scoped-VMEM budget inside
+        # the full self-play program (remote-compile failure), so both
+        # stay at their round-3 values.
         "connect4-resnet": Config(
             env="connect4",
             mcts=MCTSConfig(num_simulations=200, dirichlet_alpha=0.3),

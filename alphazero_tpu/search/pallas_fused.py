@@ -43,6 +43,8 @@ from alphazero_tpu.search.pallas_mcts import (NEG, _argmax_first, _descend,
                                               _game_tables, _iota,
                                               _leaf_finish)
 
+from alphazero_tpu.search.pallas_mcts import _env_knob
+
 BF = jnp.bfloat16
 
 
@@ -355,8 +357,7 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
                 return d + 1, visit, val
 
             # 2x unroll — loop control dominates; overrun plies mask to 0
-            import os
-            bku = int(os.environ.get("AZ_BK_UNROLL", "2"))
+            bku = _env_knob("AZ_BK_UNROLL", 2)
 
             def nbk(c):
                 for _ in range(bku):
@@ -378,10 +379,8 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
     # Segment the sim loop so early simulations run on small tree windows.
     # Row budget: simulation s backs up into row ``leaf`` ≤ s, so sims
     # [lo, hi) need Nc ≥ hi rows (rounded to the 8-sublane tile).
-    import os
     S = cfg.num_simulations
-    n_seg = int(os.environ.get(
-        "AZ_NSEG", 4 if S >= 128 else (2 if S >= 64 else 1)))
+    n_seg = _env_knob("AZ_NSEG", 4 if S >= 128 else (2 if S >= 64 else 1))
     lo = 1
     for k in range(1, n_seg + 1):
         hi = min(S, -(-S * k) // n_seg)
@@ -461,8 +460,17 @@ def _apply_sim(env, dcap, visit_s, val_s, pc_s, path_s,
         inc = 1.0 + jnp.where((d == depth) & do_expand, 0.5, 0.0)
         return d + 1, visit + oh * inc, val + oh * (sign * leaf_value)
 
+    # same AZ_BK_UNROLL knob as _run_move_sims' backup so the tuner
+    # measures both backup paths consistently (overrun plies mask to 0)
+    bku = _env_knob("AZ_BK_UNROLL", 2)
+
+    def nbk(c):
+        for _ in range(bku):
+            c = bk(c)
+        return c
+
     _, visit, val = jax.lax.while_loop(
-        lambda c: c[0] <= dmax, lambda c: bk(bk(c)),
+        lambda c: c[0] <= dmax, nbk,
         (0, visit_s[0:Nc, :], val_s[0:Nc, :]))
     visit_s[0:Nc, :] = visit
     val_s[0:Nc, :] = val
@@ -482,8 +490,9 @@ def _run_move_sims_2x(env, cfg: MCTSConfig, model, dcap: int, wrefs,
     is exactly sequential MCTS — results are bitwise-identical to
     _run_move_sims on each half's lanes.
 
-    ``halves``: two tuples (get_board, rootp, rootmc, visit_s, val_s,
-    prior_s, children_s, path_s, apath_s), one per half-batch.
+    ``halves``: two 9-tuples (get_board, rootp, rootmc, visit_s, val_s,
+    pc_s, path_s, apath_s, (rcv, rcq)), one per half-batch — enc-coded
+    visit, packed prior+children edges, and the root-child stat mirror.
     """
     S = cfg.num_simulations
     N = halves[0][3].shape[0]

@@ -47,28 +47,53 @@ from alphazero_tpu.envs.core import _make_line_matrix
 NEG = -1e30
 
 
+def _env_knob(name: str, default: int) -> int:
+    """Tuning knob from the environment, clamped to ≥ 1.
+
+    These are TRACE-TIME constants: they bake into the first compilation of
+    a given shape and changing them later in-process has no effect (the
+    jit/pallas cache keys don't include them).  Values < 1 would silently
+    corrupt search (AZ_NSEG=0 → empty segment range → zero simulations →
+    root-prior-only counts), so clamp."""
+    import os
+    try:
+        v = int(os.environ.get(name, default))
+    except ValueError:
+        return default
+    return max(v, 1)
+
+
 def _iota(n, b):
     return jax.lax.broadcasted_iota(jnp.int32, (n, b), 0)
 
 
 def supports(env, batch: int, cfg: MCTSConfig, vanilla: bool) -> bool:
     """Whether the Pallas path applies: TPU, network mode, lane-aligned
-    batch, and tree arrays small enough for VMEM."""
+    batch, and tree arrays small enough for VMEM.
+
+    The budget is the actual array footprint against the default 16M
+    scoped-vmem allocation, with headroom: connect4-resnet at B=1024
+    (15.1M by this formula) compiles standalone but fails remote
+    compilation inside the full self-play program.  Raising
+    ``vmem_limit_bytes`` instead was measured COUNTERPRODUCTIVE:
+    requesting 100M on these kernels cost tictactoe 276k → 173k and
+    connect4-resnet 14.1k → 9.0k env-steps/s (the larger budget degrades
+    Mosaic's allocation even when unused), so batches that don't fit the
+    default budget stay on the XLA engine."""
     if vanilla or batch % 128 != 0:
         return False
     N = cfg.num_simulations + 1
-    if 3 * env.action_dim * N * batch * 4 > 9_000_000:
-        return False
+    A = env.action_dim
+    # stats (3,N,B) + prior/children (A,N,B)×2 + obs/path/meta scratch
+    tree_bytes = (3 + 2 * A) * N * batch * 4
+    extra = (2 * env.feature_dim * env.rows * env.cols + 4 * A) * batch * 4
     if cfg.leaf_batch > 1:
-        # round kernel additionally holds K obs/path/meta/valid segments
-        # and a working stats copy; v5e scoped-vmem limit is 16M
-        K = cfg.leaf_batch
-        orcp = -(-env.feature_dim * env.rows * env.cols // 8) * 8
-        ap = -(-env.action_dim // 8) * 8
-        dcapp = -(-min(env.max_moves + 1, N) // 8) * 8
-        extra = (K * (orcp + 8 + 2 * ap + dcapp) + 2 * N) * batch * 4
-        if 3 * env.action_dim * N * batch * 4 + extra > 14_000_000:
-            return False
+        # leaf-batched rounds go through the XLA engine — the Pallas round
+        # kernel was removed after measuring slower at every K (see the
+        # tombstone note below / docs/DESIGN.md)
+        return False
+    if tree_bytes + extra > 14_000_000:
+        return False
     if env.name.startswith("gomoku") and env.rows * env.cols > 128:
         return False
     try:
@@ -227,6 +252,13 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
         return (c[0] < dcap) & (jnp.min(c[3]) < 1)
 
     def body(c):
+        # WARNING: the ``root_cache`` branch below PEELS an exact copy of
+        # this per-step math for d=0 (decode, q/explore/ucb, first-max
+        # selection, freeze logic, board update) reading the (A, B) root
+        # mirror instead of the one-hot gathers.  Any semantic edit here
+        # MUST be mirrored there or the documented bitwise-identity
+        # invariant silently breaks (tests: test_pallas_fused.py root-cache
+        # equivalence + scripts/verify_fused_exact.py on-chip).
         d, node, pv, stop, depth, parent, action, chsel = c[:8]
         # 2x-unrolled callers may run one step past dcap: freeze every lane
         # so the overrun body is an exact no-op (all writes below preserve
@@ -376,9 +408,7 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
     # bodies.  Measured on v5e (scripts/prof_tune.py, connect4 flagship):
     # 2x wins once the root peel shortens every walk by one step
     # (78.6k env-steps/s vs 74.1k at 4x, 74.2k at 1x, 74.5k at 3x).
-    import os
-    unroll = int(os.environ.get("AZ_DESC_UNROLL",
-                                "2" if root_cache is not None else "4"))
+    unroll = _env_knob("AZ_DESC_UNROLL", 2 if root_cache is not None else 4)
 
     def nbody(c):
         for _ in range(unroll):
@@ -540,64 +570,20 @@ def _flush_kernel(env, cfg: MCTSConfig, dcap: int,
 
 
 # --------------------------------------------------------------------------
-# leaf-batched rounds (cfg.leaf_batch = K > 1)
+# leaf-batched rounds: REMOVED after measurement (round 4)
 # --------------------------------------------------------------------------
 #
-# One kernel per ROUND instead of per simulation: flush the previous round's
-# K expansions/backups, then run K virtual-loss descents whose K leaf
-# observations share ONE network forward between kernel calls.  Matches the
-# XLA engine's _simulate_round semantics (search/mcts.py): virtual loss
-# (visit+1, value−vl, non-alternating) is applied to a WORKING copy of the
-# stats while pending child pointers are written for real, so later ranks
-# revisit pending leaves instead of double-allocating edges.  Ranks whose
-# slot exceeds the simulation budget park on spare slot N-1 fully masked
-# (partial final round).
-
-
-def _leaf_state(env, N, A, B, dcap, board_ref, W_ref, aux_ref, apath_ref,
-                rootp, rootmc, depth, root_case, chsel, slot, alloc):
-    """Shared leaf machinery: replay the recorded action path to rebuild the
-    leaf board, then terminal / legal-mask / canonical-observation.  Returns
-    (leaf, terminal, tval, obs, valid)."""
-    RC = env.rows * env.cols
-    R, C = env.rows, env.cols
-    p0 = board_ref[0, :, :].astype(jnp.float32)               # (RC, B)
-    p1 = board_ref[1, :, :].astype(jnp.float32)
-    if env.name == "connect4":
-        colmat = aux_ref[:]                                   # (C, RC)
-        heights0 = jnp.dot(colmat, p0 + p1,
-                           preferred_element_type=jnp.float32)
-    else:
-        heights0 = jnp.zeros((1, B), jnp.float32)
-    dmax = jnp.max(depth)
-
-    def recon_cond(carry):
-        return carry[0] < dmax
-
-    def recon(carry):
-        d, p0, p1, heights = carry
-        a = apath_ref[pl.ds(d, 1), :]
-        active = (d < depth).astype(jnp.float32)
-        if env.name == "connect4":
-            col_oh = (_iota(C, B) == a).astype(jnp.float32)
-            h = jnp.sum(heights * col_oh, axis=0, keepdims=True)
-            cell = (R - 1 - h.astype(jnp.int32)) * C + a
-            heights = heights + col_oh * active
-        else:
-            cell = a
-        cell_oh = (_iota(RC, B) == cell).astype(jnp.float32) * active
-        mover = (rootp + d) % 2
-        is0 = (mover == 0).astype(jnp.float32)
-        p0 = p0 + cell_oh * is0
-        p1 = p1 + cell_oh * (1.0 - is0)
-        return d + 1, p0, p1, heights
-
-    _, p0, p1, heights = jax.lax.while_loop(
-        recon_cond, recon, (0, p0, p1, heights0))
-
-    return _leaf_finish(env, B, W_ref, aux_ref, rootp, rootmc, depth,
-                        root_case, chsel, slot, alloc, p0, p1, heights)
-
+# A ~450-LoC Pallas round kernel (K virtual-loss descents sharing one
+# K*B-position forward) lived here through round 3, reachable only from
+# tests.  Measured on v5e against the per-sim pipelined engine for every
+# eval-bound benchmark config, it LOST everywhere (docs/DESIGN.md "leaf
+# batching" section): connect4-resnet 41.0-55.8 ms/move at K in {4,8,16}
+# vs 36.2 ms at K=1; end-to-end gomoku9 408 vs 419 env-steps/s, gomoku15
+# 84.9 vs 87.7.  The forward-efficiency gain of K*B-batch evals (70.8 ->
+# 132 TFLOP/s for the gomoku9 tower at 8x batch) is fully offset by the
+# serialized in-kernel descents and virtual-loss walks.  The XLA engine's
+# leaf-batched rounds (search/mcts.py:_simulate_round) remain for configs
+# whose tree exceeds VMEM; no preset enables them (same measurements).
 
 def _leaf_finish(env, B, W_ref, aux_ref, rootp, rootmc, depth, root_case,
                  chsel, slot, alloc, p0, p1, heights):
@@ -642,334 +628,6 @@ def _leaf_finish(env, B, W_ref, aux_ref, rootp, rootmc, depth, root_case,
     else:
         obs = jnp.concatenate([mine, theirs], axis=0)
     return leaf, terminal, tval, obs, valid
-
-
-def _pad8(n: int) -> int:
-    """Round a per-rank row stride up to a sublane multiple: Mosaic requires
-    dynamic vector-load/store starts in the second-minor dim to be provably
-    multiples of 8, so rank k's segment begins at k·_pad8(rows)."""
-    return -(-n // 8) * 8
-
-
-def _flush_rounds(env, cfg, K, N, A, B, dcap, visit, val, expd, prior_ref,
-                  path_ref, pmeta_ref, pvalid_ref, pprobs_ref, pvalue_ref,
-                  prev_base):
-    """Apply the previous round's K expansions + backups.
-
-    ``prev_base`` (scalar) is that round's first slot; < 1 gates the whole
-    flush off (first round — the root was expanded host-side).  Child
-    pointers were already written at descent time.  Returns updated
-    (visit, val, expd)."""
-    gate = prev_base >= 1
-    Ap, Dp = _pad8(A), _pad8(dcap)
-
-    def per_k(k, carry):
-        visit, val, expd = carry
-        slot_lin = prev_base + k
-        active = gate & (slot_lin < N - 1)
-        slot = jnp.where(slot_lin < N - 1, slot_lin, N - 1)
-        actf = jnp.where(active, 1.0, 0.0)
-        m = pmeta_ref[pl.ds(k * 8, 8), :]                     # (8, B)
-        depth = m[0:1].astype(jnp.int32)
-        alloc = m[2:3]
-        leaf = m[3:4].astype(jnp.int32)
-        terminal = m[4:5]
-        tval = m[5:6]
-        probs_k = pprobs_ref[pl.ds(k * Ap, A), :]             # (A, B)
-        valid_k = pvalid_ref[pl.ds(k * Ap, A), :]
-        value_k = pvalue_ref[pl.ds(k, 1), :]                  # (1, B)
-        do_expand = ((alloc > 0) & (terminal == 0)).astype(jnp.float32) * actf
-
-        old_row = prior_ref[:, pl.ds(slot, 1), :]
-        new_row = jnp.where((do_expand > 0) & (valid_k > 0), probs_k, NEG)
-        prior_ref[:, pl.ds(slot, 1), :] = jnp.where(
-            active, new_row[:, None, :], old_row)
-
-        leaf_value = jnp.where(terminal > 0, tval, -value_k)
-        dmax = jnp.where(active, jnp.max(depth), -1)
-
-        def bk_cond(c):
-            return c[0] <= dmax
-
-        def bk(c):
-            d, visit, val, expd = c
-            nd = path_ref[pl.ds(k * Dp + d, 1), :]
-            nd = jnp.where(d == depth, leaf, nd)
-            am = (d <= depth).astype(jnp.float32) * actf
-            sign = jnp.where((depth - d) % 2 == 0, 1.0, -1.0)
-            oh = (_iota(N, B) == nd).astype(jnp.float32) * am
-            visit = visit + oh
-            val = val + oh * (sign * leaf_value)
-            expd = expd + oh * jnp.where((d == depth) & (do_expand > 0),
-                                         1.0, 0.0)
-            return d + 1, visit, val, expd
-
-        _, visit, val, expd = jax.lax.while_loop(
-            bk_cond, bk, (0, visit, val, expd))
-        return visit, val, expd
-
-    return jax.lax.fori_loop(0, K, per_k, (visit, val, expd))
-
-
-def _round_kernel(env, cfg: MCTSConfig, dcap: int, K: int,
-                  # inputs
-                  stats_ref, prior_ref, children_ref, board_ref, player_ref,
-                  mc_ref, pathin_ref, W_ref, aux_ref, pmeta_ref, pvalid_ref,
-                  pprobs_ref, pvalue_ref, base_ref,
-                  # outputs (stats/prior/children/path/meta/valid aliased)
-                  stats_out, prior_out, children_out, path_ref, meta_ref,
-                  valid_ref, obs_ref,
-                  # scratch
-                  apath_ref):
-    """One leaf-batched round: flush round r-1, then K virtual-loss descents
-    of round r.  ``base_ref[0,0]`` is round r's first slot (1 + r·K)."""
-    A = env.action_dim
-    RC = env.rows * env.cols
-    Ap, Dp, ORCp = _pad8(A), _pad8(dcap), _pad8(env.feature_dim * RC)
-    stats = stats_ref[:]
-    N, B = stats.shape[1], stats.shape[2]
-    rootp = player_ref[:]
-    rootmc = mc_ref[:]
-    base = base_ref[0, 0]
-
-    visit, val, expd = _flush_rounds(
-        env, cfg, K, N, A, B, dcap, stats[0], stats[1], stats[2], prior_out,
-        path_ref, pmeta_ref, pvalid_ref, pprobs_ref, pvalue_ref, base - K)
-    stats_out[0, :, :] = visit
-    stats_out[1, :, :] = val
-    stats_out[2, :, :] = expd
-
-    prior = prior_out[:]
-    vl = jnp.float32(cfg.virtual_loss)
-
-    def per_k(k, carry):
-        visit_w, val_w, children_w = carry
-        slot_lin = base + k
-        active = slot_lin < N - 1
-        slot = jnp.where(active, slot_lin, N - 1)
-        actf = jnp.where(active, 1.0, 0.0)
-
-        depth, parent, action, chsel = _descend(
-            env, cfg, N, A, B, dcap, visit_w, val_w, expd, prior,
-            children_w, path_ref, apath_ref, path_off=k * Dp)
-        root_case = (parent < 0).astype(jnp.float32)
-        alloc = ((parent >= 0) & (chsel < 0)).astype(jnp.float32) * actf
-
-        leaf, terminal, tval, obs, valid = _leaf_state(
-            env, N, A, B, dcap, board_ref, W_ref, aux_ref, apath_ref,
-            rootp, rootmc, depth, root_case, chsel, slot, alloc)
-
-        # pending child pointer (real — later ranks revisit, not re-alloc)
-        ohp = (_iota(N, B) == jnp.where(alloc > 0, parent, N)) \
-            .astype(jnp.float32)
-        oha = (_iota(A, B) == action).astype(jnp.float32)
-        edge = ohp[None] * oha[:, None, :]
-        children_w = jnp.where(edge > 0, slot.astype(jnp.float32),
-                               children_w)
-
-        # virtual loss along path + leaf (non-alternating)
-        dmax = jnp.where(active, jnp.max(depth), -1)
-
-        def vwalk_cond(c):
-            return c[0] <= dmax
-
-        def vwalk(c):
-            d, visit_w, val_w = c
-            nd = path_ref[pl.ds(k * Dp + d, 1), :]
-            nd = jnp.where(d == depth, leaf, nd)
-            am = (d <= depth).astype(jnp.float32) * actf
-            oh = (_iota(N, B) == nd).astype(jnp.float32) * am
-            return d + 1, visit_w + oh, val_w - vl * oh
-
-        _, visit_w, val_w = jax.lax.while_loop(
-            vwalk_cond, vwalk, (0, visit_w, val_w))
-
-        obs_ref[pl.ds(k * ORCp, env.feature_dim * RC), :] = obs
-        valid_ref[pl.ds(k * Ap, A), :] = valid
-        meta_ref[pl.ds(k * 8, 8), :] = jnp.concatenate([
-            depth.astype(jnp.float32),
-            action.astype(jnp.float32),
-            alloc,
-            leaf.astype(jnp.float32),
-            terminal.astype(jnp.float32),
-            tval,
-            jnp.broadcast_to(actf, (1, B)),
-            jnp.zeros((1, B), jnp.float32),
-        ], axis=0)
-        return visit_w, val_w, children_w
-
-    _, _, children_w = jax.lax.fori_loop(
-        0, K, per_k, (visit, val, children_out[:]))
-    children_out[:] = children_w
-
-
-def _round_flush_kernel(env, cfg: MCTSConfig, dcap: int, K: int,
-                        stats_ref, prior_ref, children_ref, path_ref,
-                        pmeta_ref, pvalid_ref, pprobs_ref, pvalue_ref,
-                        base_ref,
-                        stats_out, prior_out, children_out):
-    """Update-only call: flush the LAST round after the loop."""
-    A = env.action_dim
-    stats = stats_ref[:]
-    N, B = stats.shape[1], stats.shape[2]
-    visit, val, expd = _flush_rounds(
-        env, cfg, K, N, A, B, dcap, stats[0], stats[1], stats[2], prior_out,
-        path_ref, pmeta_ref, pvalid_ref, pprobs_ref, pvalue_ref,
-        base_ref[0, 0])
-    stats_out[0, :, :] = visit
-    stats_out[1, :, :] = val
-    stats_out[2, :, :] = expd
-
-
-def make_round_step(env, cfg: MCTSConfig, batch: int, dcap: int,
-                    interpret: bool = False):
-    """Build (round_fn, flush_fn) pallas calls for leaf-batched search."""
-    A = env.action_dim
-    RC = env.rows * env.cols
-    N = cfg.num_simulations + 1
-    B = batch
-    F = env.feature_dim
-    K = cfg.leaf_batch
-    tables = _game_tables(env)
-    W = jnp.asarray(tables["W"])
-    aux = jnp.asarray(tables["aux"])
-
-    Ap, Dp, ORCp = _pad8(A), _pad8(dcap), _pad8(F * RC)
-
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)
-
-    rnd = pl.pallas_call(
-        functools.partial(_round_kernel, env, cfg, dcap, K),
-        out_shape=(
-            jax.ShapeDtypeStruct((3, N, B), jnp.float32),     # stats
-            jax.ShapeDtypeStruct((A, N, B), jnp.float32),     # prior
-            jax.ShapeDtypeStruct((A, N, B), jnp.float32),     # children
-            jax.ShapeDtypeStruct((K * Dp, B), jnp.int32),     # path
-            jax.ShapeDtypeStruct((K * 8, B), jnp.float32),    # meta
-            jax.ShapeDtypeStruct((K * Ap, B), jnp.float32),   # valid
-            jax.ShapeDtypeStruct((K * ORCp, B), jnp.float32),  # obs
-        ),
-        in_specs=[vspec] * 13 + [sspec],
-        out_specs=(vspec,) * 7,
-        input_output_aliases={0: 0, 1: 1, 2: 2, 6: 3, 9: 4, 10: 5},
-        scratch_shapes=[pltpu.VMEM((dcap, B), jnp.int32)],
-        interpret=interpret,
-    )
-
-    fl = pl.pallas_call(
-        functools.partial(_round_flush_kernel, env, cfg, dcap, K),
-        out_shape=(
-            jax.ShapeDtypeStruct((3, N, B), jnp.float32),
-            jax.ShapeDtypeStruct((A, N, B), jnp.float32),
-            jax.ShapeDtypeStruct((A, N, B), jnp.float32),
-        ),
-        in_specs=[vspec] * 8 + [sspec],
-        out_specs=(vspec,) * 3,
-        input_output_aliases={0: 0, 1: 1, 2: 2},
-        interpret=interpret,
-    )
-
-    def round_fn(stats, prior, children, board, player, mc, path, pmeta,
-                 pvalid, pprobs, pvalue, base):
-        base_arr = jnp.asarray(base, jnp.int32).reshape(1, 1)
-        return rnd(stats, prior, children, board, player, mc, path, W, aux,
-                   pmeta, pvalid, pprobs, pvalue, base_arr)
-
-    def flush_fn(stats, prior, children, path, pmeta, pvalid, pprobs,
-                 pvalue, base):
-        base_arr = jnp.asarray(base, jnp.int32).reshape(1, 1)
-        return fl(stats, prior, children, path, pmeta, pvalid, pprobs,
-                  pvalue, base_arr)
-
-    return round_fn, flush_fn
-
-
-def run_mcts_pallas_rounds(env, eval_fn, boards, players, move_counts,
-                           dones, rng, cfg: MCTSConfig, use_dirichlet=None,
-                           interpret: bool = False):
-    """Leaf-batched Pallas search (cfg.leaf_batch = K > 1): same semantics
-    as the XLA engine's _simulate_round path (search/mcts.py)."""
-    from alphazero_tpu.search.mcts import SearchResult, _prep_priors
-
-    B = boards.shape[0]
-    A = env.action_dim
-    RC = env.rows * env.cols
-    F = env.feature_dim
-    N = cfg.num_simulations + 1
-    K = cfg.leaf_batch
-    if use_dirichlet is None:
-        use_dirichlet = jnp.full((B,), cfg.use_dirichlet)
-    dcap = int(min(env.max_moves + 1, cfg.num_simulations + 1))
-    round_fn, flush_fn = make_round_step(env, cfg, B, dcap, interpret)
-
-    # ---- root expansion (identical to the sequential path)
-    obs0 = jax.vmap(env.observation_from_board)(boards, players)
-    probs0, value0 = eval_fn(obs0)
-    noise = jax.random.dirichlet(
-        rng, jnp.full((A,), cfg.dirichlet_alpha, jnp.float32), shape=(B,))
-    noisy = (1.0 - cfg.dirichlet_eps) * probs0 + cfg.dirichlet_eps * noise
-    probs0 = jnp.where(use_dirichlet[:, None], noisy, probs0)
-    root_valid = jax.vmap(env.valid_mask_board)(boards, move_counts)
-    live = ~dones
-    root_prior = jnp.where(live[:, None],
-                           _prep_priors(probs0, root_valid, False,
-                                        jnp.float32), NEG)
-
-    stats = jnp.zeros((3, N, B), jnp.float32)
-    stats = stats.at[0, 0].set(1.0)
-    stats = stats.at[1, 0].set(jnp.where(live, -value0, 0.0))
-    stats = stats.at[2, 0].set(live.astype(jnp.float32))
-    prior = jnp.full((A, N, B), NEG, jnp.float32)
-    prior = prior.at[:, 0, :].set(root_prior.T)
-    children = jnp.full((A, N, B), -1.0, jnp.float32)
-    board_t = boards.astype(jnp.float32).reshape(B, 2, RC).transpose(1, 2, 0)
-    player_t = players.astype(jnp.int32).reshape(1, B)
-    mc_t = move_counts.astype(jnp.int32).reshape(1, B)
-
-    Ap, Dp, ORCp = _pad8(A), _pad8(dcap), _pad8(F * RC)
-    path0 = jnp.full((K * Dp, B), N, jnp.int32)
-    meta0 = jnp.zeros((K * 8, B), jnp.float32)
-    valid0 = jnp.zeros((K * Ap, B), jnp.float32)
-    probsT0 = jnp.zeros((K * Ap, B), jnp.float32)
-    pval0 = jnp.zeros((K, B), jnp.float32)
-
-    rounds = -(-(cfg.num_simulations - 1) // K)
-
-    def body(r, carry):
-        (stats, prior, children, path, pmeta, pvalid, pprobs, pvalue) = carry
-        stats, prior, children, path, meta, valid, obs = round_fn(
-            stats, prior, children, board_t, player_t, mc_t, path, pmeta,
-            pvalid, pprobs, pvalue, 1 + r * K)
-        # obs (K·ORCp, B) → (K·B, F, R, C); probs back to (K·Ap, B)
-        obs_kb = obs.reshape(K, ORCp, B)[:, :F * RC].transpose(0, 2, 1) \
-            .reshape(K * B, F, env.rows, env.cols)
-        probs, value = eval_fn(obs_kb)
-        pprobs = probs.astype(jnp.float32).reshape(K, B, A) \
-            .transpose(0, 2, 1)
-        pprobs = jnp.pad(pprobs, ((0, 0), (0, Ap - A), (0, 0))) \
-            .reshape(K * Ap, B)
-        pvalue = value.astype(jnp.float32).reshape(K, B)
-        return (stats, prior, children, path, meta, valid, pprobs, pvalue)
-
-    carry = (stats, prior, children, path0, meta0, valid0, probsT0, pval0)
-    carry = jax.lax.fori_loop(0, rounds, body, carry)
-    (stats, prior, children, path, pmeta, pvalid, pprobs, pvalue) = carry
-    stats, prior, children = flush_fn(
-        stats, prior, children, path, pmeta, pvalid, pprobs, pvalue,
-        1 + (rounds - 1) * K)
-
-    child0 = children[:, 0, :].T.astype(jnp.int32)
-    oh = jax.nn.one_hot(child0, N, dtype=jnp.float32)
-    visit_bn = stats[0].T
-    counts = jnp.einsum("ban,bn->ba", oh, visit_bn,
-                        preferred_element_type=jnp.float32)
-    counts = jnp.where(child0 >= 0, counts, 0.0).astype(jnp.int32)
-    total = jnp.maximum(counts.sum(axis=-1), 1).astype(jnp.float32)
-    policy = counts.astype(jnp.float32) / total[:, None]
-    rq = stats[1, 0] / jnp.maximum(stats[0, 0], 1.0)
-    return SearchResult(visit_counts=counts, policy=policy, root_q=rq,
-                        tree=None)
 
 
 # --------------------------------------------------------------------------
@@ -1044,9 +702,10 @@ def run_mcts_pallas(env, eval_fn, boards, players, move_counts, dones, rng,
     """Pallas-path search with the same semantics/returns as
     :func:`alphazero_tpu.search.mcts.run_mcts` (network mode only)."""
     if cfg.leaf_batch > 1:
-        return run_mcts_pallas_rounds(env, eval_fn, boards, players,
-                                      move_counts, dones, rng, cfg,
-                                      use_dirichlet, interpret)
+        raise ValueError(
+            "leaf_batch > 1 has no Pallas path (the round kernel was "
+            "removed after measuring slower at every K — see the module "
+            "note); use backend='xla' or 'auto'")
     from alphazero_tpu.search.mcts import SearchResult, _prep_priors
 
     B = boards.shape[0]

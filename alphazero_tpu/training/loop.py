@@ -77,6 +77,12 @@ class Trainer:
             augment_skip=cfg.replay.augment_skip_moves,
         )
         self._ckpt = CheckpointManager(f"{workdir}/checkpoints") if workdir else None
+        if workdir:
+            # persist the run's config beside its checkpoints so eval /
+            # cross-run tools can rebuild the exact model (the reference
+            # makes the operator re-type Net hyperparameters, main.py:187)
+            from alphazero_tpu.config import save_config
+            save_config(cfg, workdir)
 
     # ------------------------------------------------------------- phases
     def collect(self, games_target: int) -> dict:

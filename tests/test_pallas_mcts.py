@@ -69,28 +69,7 @@ def _jax_eval_quantized(Wp, wv):
     return f
 
 
-@pytest.mark.parametrize("name,k", [("tictactoe", 4), ("connect4", 4),
-                                    ("connect4", 8), ("gomoku", 4)])
-def test_pallas_rounds_match_xla_rounds(name, k):
-    """Leaf-batched rounds: Pallas round kernel ≡ XLA _simulate_round."""
-    env = make_env(name)
-    oracle = make_oracle(name)
-    Wp, wv = _stub_weights(env)
-    eval_fn = _jax_eval_quantized(Wp, wv)
-    cfg = MCTSConfig(num_simulations=42, leaf_batch=k, use_dirichlet=False)
-
-    positions = _random_positions(oracle, n_pos=8, max_depth=6, seed=5)
-    boards = jnp.asarray(np.stack([p[0] for p in positions]))
-    players = jnp.asarray(np.array([p[1] for p in positions], np.int32))
-    mcs = jnp.asarray(np.array([p[2] for p in positions], np.int32))
-    dones = jnp.zeros(len(positions), bool)
-    rng = jax.random.PRNGKey(0)
-
-    ref = run_mcts(env, eval_fn, boards, players, mcs, dones, rng, cfg,
-                   backend="xla")
-    got = run_mcts_pallas(env, eval_fn, boards, players, mcs, dones, rng,
-                          cfg, interpret=True)
-    np.testing.assert_array_equal(np.asarray(got.visit_counts),
-                                  np.asarray(ref.visit_counts))
-    np.testing.assert_allclose(np.asarray(got.root_q),
-                               np.asarray(ref.root_q), atol=1e-5)
+# The Pallas round-kernel parity test was removed with the round kernel
+# itself (measured slower than the per-sim engine at every K; see the
+# tombstone note in search/pallas_mcts.py).  XLA-engine leaf-batch
+# semantics remain covered by tests/test_leaf_batch.py.
