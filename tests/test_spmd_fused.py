@@ -128,8 +128,31 @@ def test_super_step_fused_actors_end_to_end():
         jax.random.PRNGKey(2))
 
     assert int(sp2.env_steps) == 6 * B
-    assert np.isfinite(float(metrics.loss))
+    # 6 moves of connect4 cannot finish a game: every shard ring is still
+    # empty, so the warm-up gate must hold the learner — params bit-equal
+    # (parallel/spmd.py buffer_ready; VERDICT r3 Weak #3)
+    assert int(np.max(np.asarray(buf2.size))) == 0
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(metrics.loss) == 0.0
+
+    # seed every shard ring with one game → the gate opens and the
+    # learner moves the params
+    from alphazero_tpu.data import add_games
+    L, A = env.max_moves, env.action_dim
+    seeds = add_games(
+        buf2, jnp.zeros((S, L, env.feature_dim, env.rows, env.cols),
+                        jnp.int8),
+        jnp.ones((S, L, A), jnp.float32) / A,
+        jnp.full((S,), 7, jnp.int32), jnp.zeros((S,), jnp.int32),
+        jnp.ones((S,), bool))
+    params3, sp3, buf3, rng, metrics = jitted(
+        jax.device_put(params2, p_sh),
+        jax.tree.map(jax.device_put, sp2, sp_sh),
+        jax.tree.map(jax.device_put, seeds, buf_sh),
+        jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics.loss)) and float(metrics.loss) != 0.0
     moved = any(
         not np.array_equal(np.asarray(a), np.asarray(b))
-        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)))
+        for a, b in zip(jax.tree.leaves(params2), jax.tree.leaves(params3)))
     assert moved
