@@ -174,15 +174,18 @@ def preset(name: str) -> Config:
             replay=ReplayConfig(capacity=50_000),
         ),
         # "connect4 self-play: MCTS 200 sims/move, batched 512 parallel games"
-        # Flagship model: MXU-native dense tower (models/dense.py), 1.79M
-        # params — validated to the conv ResNet's strength trajectory
-        # (runs/c4_dense: 0.84 vs vanilla-400 by iter 50; ResNet run: 0.86
-        # by iter 60) at ~3x the self-play throughput via the whole-move
-        # fused kernel (search/pallas_fused.py).
+        # Flagship model: MXU-native dense tower (models/dense.py).
+        # blocks=2 (round 4): strength-validated at 256-game evals —
+        # 0.045 → 0.855 vs vanilla-400 over 60 iterations, rising
+        # monotonically (docs/results/connect4_dense2_training_curve.jsonl)
+        # — matching the blocks=3 and conv-ResNet trajectories while
+        # cutting the fused kernel's forward: 82.6k vs 71.9k env-steps/s
+        # (docs/DESIGN.md).  Self-play rides the whole-move fused kernel
+        # (search/pallas_fused.py).
         "connect4": Config(
             env="connect4",
             mcts=MCTSConfig(num_simulations=200, dirichlet_alpha=0.3),
-            model=ModelConfig(family="dense", width=512, blocks=3),
+            model=ModelConfig(family="dense", width=512, blocks=2),
             train=TrainConfig(batch_size=512, selfplay_batch=512,
                               games_per_iter=512),
         ),

@@ -273,6 +273,25 @@ def _update_root_cache(A, B, rcv_ref, rcq_ref, a0, depth, do_expand,
     rcq_ref[:] = rcq_ref[:] + ohA * (sign1 * leaf_value)
 
 
+def _update_d1_cache(A, B, rcv1_ref, rcq1_ref, a0, a1, depth, do_expand,
+                     leaf_value):
+    """Same incremental maintenance one level deeper: the (A, A, B)
+    mirrors hold the enc visit / value sums of DEPTH-2 nodes keyed
+    (child action a1, root action a0) — in a tree the pair identifies the
+    node uniquely.  The backup's d=2 ply adds ``inc`` (+0.5 enc when the
+    depth-2 leaf just expanded) and ``sign·leaf_value`` exactly as it
+    does into the node's ``visit_s``/``val_s`` rows, so the peeled d=1
+    step (pallas_mcts._descend) reads bitwise-identical stats."""
+    live2 = (depth >= 2).astype(jnp.float32)                  # (1, B)
+    ohA0 = (_iota(A, B) == a0).astype(jnp.float32)            # (A, B)
+    ohA1 = (_iota(A, B) == a1).astype(jnp.float32)
+    m3 = ohA1[:, None, :] * ohA0[None] * live2[None]          # (A, A, B)
+    inc2 = 1.0 + jnp.where((depth == 2) & do_expand, 0.5, 0.0)
+    sign2 = jnp.where((depth - 2) % 2 == 0, 1.0, -1.0)
+    rcv1_ref[:] = rcv1_ref[:] + m3 * inc2[None]
+    rcq1_ref[:] = rcq1_ref[:] + m3 * (sign2 * leaf_value)[None]
+
+
 def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
                    W_ref, aux_ref, get_board, rootp, rootmc,
                    visit_s, val_s, pc_s,
@@ -309,12 +328,16 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
                              preferred_element_type=jnp.float32)
             else:
                 h0 = jnp.zeros((1, B), jnp.float32)
+            import os
+            rc_use = rc
+            if rc is not None and os.environ.get("AZ_NO_D1"):
+                rc_use = rc[:2]        # A/B: disable the d=1 peel/mirrors
             depth, parent, action, chsel, p0, p1, heights = _descend(
                 env, cfg, Nc, A, B, dcap, visit, val, None,
                 pc_s[:, 0:Nc, :], None, path_s,
                 apath_s, board=(p0_r, p1_r, h0, rootp),
-                root_cache=(None if rc is None
-                            else (rc[0][:], rc[1][:])),
+                root_cache=(None if rc_use is None
+                            else tuple(r[:] for r in rc_use)),
                 root_pv=slot.astype(jnp.float32))
             root_case = (parent < 0).astype(jnp.float32)
             alloc = ((parent >= 0) & (chsel < 0)).astype(jnp.float32)
@@ -327,9 +350,9 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
 
             # ---- expansion (packed edges: see _apply_sim)
             do_expand = (alloc > 0) & (terminal == 0)
-            pc_s[:, pl.ds(slot, 1), :] = jnp.where(
-                do_expand & (valid > 0), 1.0 + _qfrac(probs),
-                0.0)[:, None, :]
+            new_row = jnp.where(do_expand & (valid > 0),
+                                1.0 + _qfrac(probs), 0.0)     # (A, B)
+            pc_s[:, pl.ds(slot, 1), :] = new_row[:, None, :]
             ohp = (_iota(Nc, B) == jnp.where(alloc > 0, parent, Nc)) \
                 .astype(jnp.float32)
             oha = (_iota(A, B) == action).astype(jnp.float32)
@@ -338,6 +361,29 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
             pc_s[:, 0:Nc, :] = jnp.where(
                 edge > 0, (slot.astype(jnp.float32) + 2.0)
                 + (pc_w - jnp.floor(pc_w)), pc_w)
+
+            if rc_use is not None and len(rc_use) == 5:
+                # ---- d1 mirror maintenance (pc1 edge rows of depth-1
+                # nodes keyed by root action a0; see _update_d1_cache)
+                pc1 = rc[2]
+                a0 = apath_s[pl.ds(0, 1), :]                  # (1, B)
+                a0_oh = (_iota(A, B) == a0).astype(jnp.float32)
+                # expansion AT depth 1: the new node IS a root child —
+                # copy its whole edge row into pc1[:, a0]
+                d1x = (do_expand & (depth == 1)).astype(jnp.float32)
+                m_row = a0_oh[None] * d1x[None]               # (1, A, B)
+                pc1_w = pc1[:]
+                pc1_w = jnp.where(m_row > 0, new_row[:, None, :], pc1_w)
+                # allocation at depth 2: the parent (a depth-1 node) edge
+                # (a1 = action) now points at the slot — mirror the pc_s
+                # edge update (terminal leaves included, as in pc_s)
+                a1_oh = oha                                   # (A, B)
+                d2a = ((alloc > 0) & (depth == 2)).astype(jnp.float32)
+                m_edge = a1_oh[:, None, :] * a0_oh[None] * d2a[None]
+                pc1_w = jnp.where(
+                    m_edge > 0, (slot.astype(jnp.float32) + 2.0)
+                    + (pc1_w - jnp.floor(pc1_w)), pc1_w)
+                pc1[:] = pc1_w
 
             # ---- backup (ai/node.py:62-74 semantics); the leaf ply adds
             # 1 + 0.5·expand into the enc array, interior plies add 1
@@ -372,6 +418,11 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
                 _update_root_cache(A, B, rc[0], rc[1],
                                    apath_s[pl.ds(0, 1), :], depth,
                                    do_expand, leaf_value)
+                if len(rc_use) == 5:
+                    _update_d1_cache(A, B, rc[3], rc[4],
+                                     apath_s[pl.ds(0, 1), :],
+                                     apath_s[pl.ds(1, 1), :], depth,
+                                     do_expand, leaf_value)
             return 0
 
         return sim
@@ -584,7 +635,8 @@ def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
      W_ref, aux_ref) = refs[:8]
     wrefs = refs[8:8 + n_w]
     counts_ref, rootq_ref = refs[8 + n_w:10 + n_w]
-    (visit_s, val_s, pc_s, path_s, apath_s, rcv_s, rcq_s) = refs[10 + n_w:]
+    (visit_s, val_s, pc_s, path_s, apath_s, rcv_s, rcq_s,
+     pc1_s, rcv1_s, rcq1_s) = refs[10 + n_w:]
 
     A = env.action_dim
     N = visit_s.shape[0]
@@ -606,6 +658,9 @@ def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
     pc_s[:, 0, :] = jnp.where(rp > -1e29, 1.0 + _qfrac(rp), 0.0)
     rcv_s[:] = jnp.zeros((A, B), jnp.float32)
     rcq_s[:] = jnp.zeros((A, B), jnp.float32)
+    pc1_s[:] = jnp.zeros((A, A, B), jnp.float32)
+    rcv1_s[:] = jnp.zeros((A, A, B), jnp.float32)
+    rcq1_s[:] = jnp.zeros((A, A, B), jnp.float32)
 
     def get_board():
         return (board_ref[0, :, :].astype(jnp.float32),
@@ -613,7 +668,7 @@ def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
 
     _run_move_sims(env, cfg, model, dcap, wrefs, W_ref, aux_ref, get_board,
                    rootp, rootmc, visit_s, val_s, pc_s, path_s, apath_s,
-                   rc=(rcv_s, rcq_s))
+                   rc=(rcv_s, rcq_s, pc1_s, rcv1_s, rcq1_s))
 
     counts, rootq = _root_counts(env, visit_s, pc_s, val_s, rcv=rcv_s)
     counts_ref[:] = counts
@@ -713,7 +768,8 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
          path0, path1, apath0, apath1,
          rcv0, rcv1, rcq0, rcq1) = scratch
     else:
-        (visit_s, val_s, pc_s, path_s, apath_s, rcv_s, rcq_s) = scratch
+        (visit_s, val_s, pc_s, path_s, apath_s, rcv_s, rcq_s,
+         pc1_s, rcv1_s, rcq1_s) = scratch
 
     A = env.action_dim
     RC = env.rows * env.cols
@@ -803,10 +859,14 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
             pc_s[:, 0, :] = root_pc
             rcv_s[:] = jnp.zeros((A, B), jnp.float32)
             rcq_s[:] = jnp.zeros((A, B), jnp.float32)
+            pc1_s[:] = jnp.zeros((A, A, B), jnp.float32)
+            rcv1_s[:] = jnp.zeros((A, A, B), jnp.float32)
+            rcq1_s[:] = jnp.zeros((A, A, B), jnp.float32)
 
             _run_move_sims(env, cfg, model, dcap, wrefs, W_ref, aux_ref,
                            lambda: (p0, p1), player, mc, visit_s, val_s,
-                           pc_s, path_s, apath_s, rc=(rcv_s, rcq_s))
+                           pc_s, path_s, apath_s,
+                           rc=(rcv_s, rcq_s, pc1_s, rcv1_s, rcq1_s))
 
             counts, rootq = _root_counts(env, visit_s, pc_s, val_s,
                                          rcv=rcv_s)
@@ -949,6 +1009,9 @@ def run_selfplay_chunk_fused(env, model, params, boards, players,
             pltpu.VMEM((dcap, B), jnp.int32),            # apath
             pltpu.VMEM((A, B), jnp.float32),             # root cvisit
             pltpu.VMEM((A, B), jnp.float32),             # root cval
+            pltpu.VMEM((A, A, B), jnp.float32),          # d1 edge rows
+            pltpu.VMEM((A, A, B), jnp.float32),          # d1 cvisit (enc)
+            pltpu.VMEM((A, A, B), jnp.float32),          # d1 cval
         ]
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     kern = pl.pallas_call(
@@ -1063,6 +1126,9 @@ def run_mcts_fused(env, model, params, eval_fn, boards, players,
             pltpu.VMEM((dcap, B), jnp.int32),            # apath
             pltpu.VMEM((A, B), jnp.float32),             # root cvisit
             pltpu.VMEM((A, B), jnp.float32),             # root cval
+            pltpu.VMEM((A, A, B), jnp.float32),          # d1 edge rows
+            pltpu.VMEM((A, A, B), jnp.float32),          # d1 cvisit (enc)
+            pltpu.VMEM((A, A, B), jnp.float32),          # d1 cval
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -353,7 +353,7 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
         # ---- peeled d=0 step: child stats from the (A, B) root mirror,
         # root visits = root_pv (scalar).  Mirrors the body below exactly.
         assert packed and enc and board is not None
-        rc_visit, rc_val = root_cache
+        rc_visit, rc_val = root_cache[:2]
         pc0 = prior[:, 0, :]                                  # (A, B)
         fl0 = jnp.floor(pc0)
         crow0 = fl0 - 2.0
@@ -401,6 +401,66 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
         p1_1 = p1_0 + cell_oh0 * (1.0 - is0_0)
         init = (1, node1, pv1, stop1, depth1, parent1, action1, chsel1,
                 p0_1, p1_1, h1)
+
+    if root_cache is not None and len(root_cache) == 5 and dcap > 2:
+        # ---- peeled d=1 step: the depth-1 node's edge row and its
+        # children's stats come from (A, A, B) mirrors keyed by the root
+        # action a0 (maintained by expansion/backup — pallas_fused
+        # _update_d1_cache / the sim body's pc1 writes) instead of the
+        # O(A·N·B) one-hot gathers.  Nearly every simulation executes a
+        # d=1 step, so this removes the walk's second-most-expensive
+        # gather pass entirely.  Mirrors the body exactly (see the
+        # WARNING on ``body``); bitwise-identical results.
+        pc1_m, rc1_visit, rc1_val = root_cache[2:]
+        frozen1 = stop1 > 0
+        pcrow1 = jnp.sum(pc1_m * act0_oh[None], axis=1)       # (A, B)
+        fl1 = jnp.floor(pcrow1)
+        crow1 = fl1 - 2.0
+        prow1 = (pcrow1 - fl1) * 2.0
+        cv1 = jnp.sum(rc1_visit * act0_oh[None], axis=1)      # (A, B) enc
+        cl1 = jnp.sum(rc1_val * act0_oh[None], axis=1)
+        cfl1 = jnp.floor(cv1)
+        cexp1 = (cv1 - cfl1) * 2.0
+        q1 = jnp.where(cfl1 > 0, cl1 / jnp.maximum(cfl1, 1.0), 0.0)
+        explore1 = prow1 * (jnp.sqrt(pv1) / (cfl1 + 1.0))
+        if cfg.formula == "alphazero":
+            explore1 = cfg.c_puct * explore1
+        ucb1 = jnp.where(fl1 == 0, NEG, q1 + explore1)
+        act1 = _argmax_first(ucb1, A, B)                      # (1, B)
+        act1_oh = (_iota(A, B) == act1).astype(jnp.float32)
+        c_sel1 = jnp.sum(crow1 * act1_oh, axis=0, keepdims=True)
+        v_sel1 = jnp.sum(cfl1 * act1_oh, axis=0, keepdims=True)
+        e_sel1 = jnp.sum(cexp1 * act1_oh, axis=0, keepdims=True)
+        now_stop1 = ((c_sel1 < 0) | (e_sel1 == 0)).astype(jnp.int32)
+        prow_old1 = path_ref[pl.ds(path_off + 1, 1), :]
+        arow_old1 = apath_ref[pl.ds(1, 1), :]
+        path_ref[pl.ds(path_off + 1, 1), :] = jnp.where(frozen1, prow_old1,
+                                                        node1)
+        apath_ref[pl.ds(1, 1), :] = jnp.where(frozen1, arow_old1, act1)
+        parent2 = jnp.where(frozen1, parent1, node1)
+        action2 = jnp.where(frozen1, action1, act1)
+        chsel2 = jnp.where(frozen1, chsel1, c_sel1)
+        depth2 = jnp.where(frozen1, depth1, 2)
+        node2 = jnp.where(frozen1 | (now_stop1 > 0), node1,
+                          c_sel1.astype(jnp.int32))
+        pv2 = jnp.where(frozen1, pv1, v_sel1)
+        stop2 = jnp.maximum(stop1, now_stop1)
+        # apply the d=1 move for active lanes (body's board update)
+        active1 = 1.0 - frozen1.astype(jnp.float32)
+        if env.name == "connect4":
+            col_oh1 = (_iota(C, B) == act1).astype(jnp.float32)
+            hh1 = jnp.sum(h1 * col_oh1, axis=0, keepdims=True)
+            cell1 = (R - 1 - hh1.astype(jnp.int32)) * C + act1
+            h2 = h1 + col_oh1 * active1
+        else:
+            cell1 = act1
+            h2 = h1
+        cell_oh1 = (_iota(RC, B) == cell1).astype(jnp.float32) * active1
+        is0_1 = jnp.asarray((rootp + 1) % 2 == 0, jnp.float32)  # mover d=1
+        p0_2 = p0_1 + cell_oh1 * is0_1
+        p1_2 = p1_1 + cell_oh1 * (1.0 - is0_1)
+        init = (2, node2, pv2, stop2, depth2, parent2, action2, chsel2,
+                p0_2, p1_2, h2)
     # Unrolling trades loop-control overhead (branch + cross-lane
     # `min(stop)` reduction + scalar sync per iteration) against wasted
     # overrun bodies — the loop runs until the DEEPEST lane of the batch

@@ -170,14 +170,18 @@ def selfplay_chunk_fused(env, model, params, mcts_cfg: MCTSConfig,
     obs_flat = rec["obs"].reshape(M, B, FRC).astype(jnp.float32)
 
     def overlay(slab_obs, slab_pol, m_cap):
-        """Slabs with every record (m ≤ m_cap[b], last write wins) applied."""
-        sels, later = [], jnp.zeros((B, L), bool)
-        for m in reversed(range(M)):
-            hit = (rec["t"][m][:, None] == lr) & (m <= m_cap)[:, None]
-            sels.append(hit & ~later)
-            later = later | hit
-        sel = jnp.stack(sels[::-1]).astype(jnp.float32)       # (M, B, L)
-        any_w = later                                          # (B, L)
+        """Slabs with every record (m ≤ m_cap[b], last write wins) applied.
+
+        Last-write-wins as one max-reduction over the chunk axis instead
+        of a reversed M-step mask accumulation — the loop form created a
+        chain of ~M dependent (B, L) ops per overlay (×6 overlays/chunk),
+        pure serialized dispatch latency."""
+        mi = jnp.arange(M)[:, None, None]                     # (M, 1, 1)
+        hit = ((rec["t"][:, :, None] == lr[None])             # (M, B, L)
+               & (mi <= m_cap[None, :, None]))
+        wm = jnp.max(jnp.where(hit, mi + 1, 0), axis=0)       # (B, L)
+        sel = (hit & (mi + 1 == wm[None])).astype(jnp.float32)  # (M, B, L)
+        any_w = wm > 0                                         # (B, L)
         # HIGHEST: exact f32 for the policy overlay (default matmul
         # precision is single-pass bf16 on TPU)
         up_obs = jnp.einsum("mbl,mbx->blx", sel, obs_flat,
@@ -217,9 +221,10 @@ def selfplay_chunk_fused(env, model, params, mcts_cfg: MCTSConfig,
         winner=jnp.full((B,), -1, jnp.int32),
         done=jnp.zeros((B,), jnp.bool_),
     )
-    results = sp.results
-    for m in range(M):
-        results = _results_update(results, rec["done"][m], rec["winner"][m])
+    d, w = rec["done"], rec["winner"]                          # (M, B)
+    results = sp.results + jnp.stack(
+        [(d & (w == 0)).sum(), (d & (w == 1)).sum(),
+         (d & (w < 0)).sum()]).astype(jnp.int32)
     return sp.replace(
         env_state=env_state,
         traj_obs=traj_obs,
