@@ -177,21 +177,23 @@ def _dense_forward(env, model, wrefs, obs, W_lines):
     return probs, value
 
 
-def _dense_forward_2x(env, model, wrefs, obs, W_lines):
-    """_dense_forward with the batch split into two lane halves and the
-    halves' stage chains INTERLEAVED.
+def _dense_forward_2x(env, model, wrefs, obs, W_lines, n_way=2):
+    """_dense_forward with the batch split into ``n_way`` lane groups and
+    the groups' stage chains INTERLEAVED.
 
     The forward is a dependent chain mm → LN/act (VPU) → mm → …; with
     in-order issue the VPU stalls on every matmul, so MXU and VPU
-    serialize.  Alternating the halves' stages puts one half's VPU stage
-    between the other half's matmul issue and its consumer — the matmul
-    executes under the VPU work (measured: independent MXU/VPU chains
-    overlap perfectly, scripts/prof_overlap.py).  Lanes never mix in any
-    op, so per half the values are bitwise-identical to _dense_forward.
+    serialize.  Rotating the groups' stages puts other groups' VPU stages
+    between a matmul's issue and its consumer — the matmul executes under
+    the VPU work (measured: independent MXU/VPU chains overlap perfectly,
+    scripts/prof_overlap.py).  Lanes never mix in any op, so per group
+    the values are bitwise-identical to _dense_forward.  ``n_way`` groups
+    must keep ≥128 lanes each; AZ_FWD_NWAY overrides the dispatch choice
+    (measured on v5e: 2-way wins — see docs/DESIGN.md round-4 notes).
     """
     RC = env.rows * env.cols
     B = obs.shape[1]
-    H = B // 2
+    H = B // n_way
     ws = [w[:] for w in wrefs]
     nb = model.blocks
 
@@ -240,22 +242,23 @@ def _dense_forward_2x(env, model, wrefs, obs, W_lines):
             st["probs"] = e / jnp.sum(e, axis=0, keepdims=True)
             st["value"] = jnp.tanh(st["p"] + bvh)
 
-    a = {"x": obs[:, :H]}
-    b = {"x": obs[:, H:]}
+    groups = [{"x": obs[:, g * H:(g + 1) * H]} for g in range(n_way)]
     for si in range(2 * nb + 4):
-        step(a, si)
-        step(b, si)
-    probs = jnp.concatenate([a["probs"], b["probs"]], axis=1)
-    value = jnp.concatenate([a["value"], b["value"]], axis=1)
+        for st in groups:
+            step(st, si)
+    probs = jnp.concatenate([st["probs"] for st in groups], axis=1)
+    value = jnp.concatenate([st["value"] for st in groups], axis=1)
     return probs, value
 
 
 def _leaf_eval(env, model, wrefs, obs, W_lines):
-    """Leaf/root evaluation dispatch: interleaved two-half forward when the
-    lane count splits into 128-lane halves, else the plain chain.  Tests
+    """Leaf/root evaluation dispatch: interleaved n-way forward when the
+    lane count splits into ≥128-lane groups, else the plain chain.  Tests
     monkeypatch THIS hook to stub the network."""
-    if obs.shape[1] % 256 == 0:
-        return _dense_forward_2x(env, model, wrefs, obs, W_lines)
+    n_way = _env_knob("AZ_FWD_NWAY", 2)
+    if n_way > 1 and obs.shape[1] % (128 * n_way) == 0:
+        return _dense_forward_2x(env, model, wrefs, obs, W_lines,
+                                 n_way=n_way)
     return _dense_forward(env, model, wrefs, obs, W_lines)
 
 def _update_root_cache(A, B, rcv_ref, rcq_ref, a0, depth, do_expand,
