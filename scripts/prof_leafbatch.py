@@ -1,12 +1,11 @@
 """Time run_mcts across leaf_batch values on the real chip.
 
-VERDICT r1 #9: leaf-batched rounds (K virtual-loss descents sharing one
-K·B-position forward) were measured 2.6x cheaper per eval for the conv
-nets — decide whether any preset should enable them.  Probes the XLA
-engine for the eval-bound configs (connect4-resnet, gomoku9) and the
-Pallas rounds path for the dense flagship.
+Round-4 verdict (docs/DESIGN.md "Leaf batching: measured and rejected"):
+K>1 lost end-to-end on every eval-bound config, the Pallas round kernel
+was deleted, and no preset enables leaf_batch.  This harness remains for
+re-probing the XLA engine's K rounds on future configs/model sizes.
 
-Usage: python -m scripts.prof_leafbatch [dense|resnet|gomoku9] ...
+Usage: python -m scripts.prof_leafbatch [resnet|gomoku9] ...
 """
 import dataclasses
 import sys
@@ -62,8 +61,6 @@ def probe(preset_name, B, ks, backend, n=3, sims=None):
 
 if __name__ == "__main__":
     which = sys.argv[1:] or ["resnet"]
-    if "dense" in which:
-        probe("connect4", 512, [1, 4, 8], "pallas")
     if "resnet" in which:
         probe("connect4-resnet", 512, [1, 4, 8], "xla")
     if "gomoku9" in which:
