@@ -33,12 +33,16 @@ def _build(preset_name: str):
 def _parse_mesh(spec: str):
     """'data=8' / 'data=4,model=2' → (n_data, n_model)."""
     n = {"data": None, "model": 1}
+    seen = set()
     for part in spec.split(","):
         k, _, v = part.partition("=")
-        if k not in n or not v.isdigit():
+        if k not in n or k in seen or not v.isdigit() or int(v) < 1:
             raise SystemExit(f"bad --mesh spec {spec!r}; "
-                             "expected data=N[,model=M]")
+                             "expected data=N[,model=M] with N,M >= 1")
+        seen.add(k)
         n[k] = int(v)
+    if n["data"] is None:
+        raise SystemExit(f"bad --mesh spec {spec!r}: 'data=N' is required")
     return n["data"], n["model"]
 
 
@@ -54,6 +58,8 @@ def _apply_overrides(cfg, args):
         tr_over["gate_games"] = args.gate_games
     if args.no_gate:
         tr_over["gate_enabled"] = False
+    if getattr(args, "lr", None):
+        tr_over["learning_rate"] = args.lr
     if tr_over:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **tr_over))
@@ -162,7 +168,7 @@ def cmd_eval(args):
     from alphazero_tpu.training.loop import Trainer
 
     cfg = _run_cfg(preset(args.preset), args.workdir)
-    tr = Trainer(cfg, workdir=args.workdir)
+    tr = Trainer(cfg, workdir=args.workdir, persist_config=False)
     if args.workdir and tr.restore_checkpoint(step=args.step):
         print(f"loaded version {tr.version}", file=sys.stderr)
     model_agent = Agent(make_eval_fn(tr.model, tr.params_best), cfg.mcts)
@@ -181,7 +187,8 @@ def cmd_eval(args):
             print(f"--vs checkpoint: env mismatch ({cfg_b.env} vs "
                   f"{cfg.env})", file=sys.stderr)
             sys.exit(1)
-        trb = Trainer(cfg_b, workdir=args.workdir_b or args.workdir)
+        trb = Trainer(cfg_b, workdir=args.workdir_b or args.workdir,
+                      persist_config=False)
         if not trb.restore_checkpoint(step=args.step_b):
             print("--vs checkpoint: no checkpoint found at "
                   f"{args.workdir_b or args.workdir} step={args.step_b}",
@@ -211,7 +218,7 @@ def cmd_play(args):
         env = make_env(cfg.env)
     else:
         cfg = _run_cfg(cfg, args.workdir)
-        tr = Trainer(cfg, workdir=args.workdir)
+        tr = Trainer(cfg, workdir=args.workdir, persist_config=False)
         if args.workdir:
             tr.restore_checkpoint()
         env = tr.env
@@ -267,6 +274,10 @@ def main(argv=None):
                    help="override the preset's parallel self-play games")
     t.add_argument("--batch-size", type=int, default=None,
                    help="override the preset's SGD batch size")
+    t.add_argument("--lr", type=float, default=None,
+                   help="override the preset's Adam learning rate "
+                        "(reference train-only mode uses 1e-3, "
+                        "main.py:230, vs 2.5e-4 for the full loop)")
     t.add_argument("--sims", type=int, default=None,
                    help="override the preset's MCTS simulations per move")
     t.add_argument("--capacity", type=int, default=None,

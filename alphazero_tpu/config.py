@@ -40,6 +40,15 @@ class MCTSConfig:
     # _simulate_round).  Network mode only.
     leaf_batch: int = 1
     virtual_loss: float = 1.0
+    # --- Pallas kernel tuning (None = tuned auto-default).  These are
+    # TRACE-TIME constants baked into the kernel compilation; the AZ_NSEG /
+    # AZ_DESC_UNROLL / AZ_BK_UNROLL / AZ_FWD_NWAY env vars override them
+    # for ad-hoc profiling (search/pallas_mcts.py:_env_knob precedence:
+    # env var > config field > auto).  Measured sweeps: docs/DESIGN.md.
+    nseg: Optional[int] = None          # sim-loop segments (tree windows)
+    desc_unroll: Optional[int] = None   # descent while_loop unroll
+    backup_unroll: Optional[int] = None  # backup while_loop unroll
+    fwd_nway: Optional[int] = None      # interleaved forward groups
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,6 +107,9 @@ class TrainConfig:
     # Vanilla-MCTS sanity match cadence (main.py:74-76)
     vanilla_eval_every: int = 15
     seed: int = 0
+    # Self-play moves per device dispatch (None = training/loop.py's
+    # SELFPLAY_CHUNK_STEPS default of 32; AZ_CHUNK_STEPS env overrides)
+    selfplay_chunk_steps: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -124,10 +124,17 @@ def make_collect_chunk(env, model, cfg: Config, mesh: Mesh, num_steps: int,
         from alphazero_tpu.search.pallas_fused import supports_selfplay_fused
         B_local = cfg.train.selfplay_batch // mesh.shape["data"]
         if interpret:   # CPU-mesh tests/dryruns: interpret mode stands in
-            # for Mosaic, so only the family/mode gates apply
+            # for Mosaic, so the VMEM/platform gates relax — but the
+            # semantic gates still apply: the packed child+prior edge
+            # encoding is exact only below 512 sims (supports_fused's
+            # precision bound), and AZ_DISABLE_CHUNK must disable the
+            # kernel here too
+            import os
             fused_selfplay = (not tensor_parallel
                               and isinstance(model, DenseTower)
-                              and cfg.mcts.leaf_batch == 1)
+                              and cfg.mcts.leaf_batch == 1
+                              and cfg.mcts.num_simulations + 2 < 512
+                              and not os.environ.get("AZ_DISABLE_CHUNK"))
         else:
             fused_selfplay = (not tensor_parallel
                               and supports_selfplay_fused(env, B_local,
@@ -166,16 +173,18 @@ def make_train_chunk(env, model, cfg: Config, mesh: Mesh,
     Unlike the fused super-step, the optimizer state is threaded through so
     an epoch of many chunks keeps ONE fresh-Adam state (the reference's
     per-epoch reset, train.py:92).  The whole chunk no-ops (``trained`` =
-    False, zero metrics) until :func:`buffer_ready` — the warm-up gate."""
+    False, zero metrics) until :func:`buffer_ready` — the warm-up gate.
+    ``num_active`` (dynamic scalar ≤ ``num_steps``) masks the scan tail so
+    partial epochs perform exactly the scheduled step count."""
     from alphazero_tpu.training.learner import TrainMetrics
     syms = Symmetries(env)
     opt = make_optimizer(cfg.train)
     dsh = data_sharded(mesh)
 
-    def train(params, opt_state, buffer: ReplayBuffer, rng):
-        def tr_body(carry, _):
+    def train(params, opt_state, buffer: ReplayBuffer, rng, num_active):
+        def tr_body(carry, i):
             params, opt_state, rng = carry
-            rng, k = jax.random.split(rng)
+            rng, k, kd = jax.random.split(rng, 3)
             obs, pol, val = sample(
                 buffer, k, cfg.train.batch_size,
                 syms if cfg.replay.augment else None,
@@ -185,19 +194,26 @@ def make_train_chunk(env, model, cfg: Config, mesh: Mesh,
             val = jax.lax.with_sharding_constraint(val, dsh)
             grads, metrics = jax.grad(
                 lambda p: loss_fn(model, p, obs, pol, val,
-                                  cfg.train.l2_coeff),
+                                  cfg.train.l2_coeff, dropout_rng=kd),
                 has_aux=True,
             )(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
+            updates, new_opt = opt.update(grads, opt_state, params)
             import optax
-            params = optax.apply_updates(params, updates)
+            new_p = optax.apply_updates(params, updates)
+            active = i < num_active
+            params = jax.tree.map(
+                lambda n, o: jnp.where(active, n, o), new_p, params)
+            opt_state = jax.tree.map(
+                lambda n, o: jnp.where(active, n, o), new_opt, opt_state)
+            metrics = jax.tree.map(
+                lambda m: jnp.where(active, m, 0.0), metrics)
             return (params, opt_state, rng), metrics
 
         ready = (buffer_ready(buffer) if buffer.cursor.ndim == 1
                  else buffer.size > 0)
 
         def do(carry):
-            return jax.lax.scan(tr_body, carry, None, length=num_steps)
+            return jax.lax.scan(tr_body, carry, jnp.arange(num_steps))
 
         def skip(carry):
             zeros = TrainMetrics(*(jnp.zeros((num_steps,), jnp.float32)
@@ -206,8 +222,9 @@ def make_train_chunk(env, model, cfg: Config, mesh: Mesh,
 
         (params, opt_state, rng), metrics = jax.lax.cond(
             ready, do, skip, (params, opt_state, rng))
+        denom = jnp.maximum(num_active, 1).astype(jnp.float32)
         return (params, opt_state, rng,
-                jax.tree.map(jnp.mean, metrics), ready)
+                jax.tree.map(lambda m: jnp.sum(m) / denom, metrics), ready)
 
     return train
 
@@ -271,7 +288,7 @@ def make_super_step(env, model, cfg: Config, mesh: Mesh,
 
         def tr_body(carry, _):
             params, opt_state, rng = carry
-            rng, k = jax.random.split(rng)
+            rng, k, kd = jax.random.split(rng, 3)
             obs, pol, val = sample(
                 buffer, k, cfg.train.batch_size,
                 syms if cfg.replay.augment else None,
@@ -283,7 +300,7 @@ def make_super_step(env, model, cfg: Config, mesh: Mesh,
             val = jax.lax.with_sharding_constraint(val, dsh)
             grads, metrics = jax.grad(
                 lambda p: loss_fn(model, p, obs, pol, val,
-                                  cfg.train.l2_coeff),
+                                  cfg.train.l2_coeff, dropout_rng=kd),
                 has_aux=True,
             )(params)
             updates, opt_state = opt.update(grads, opt_state, params)

@@ -47,8 +47,19 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def loss_fn(model, params, obs, policy_target, value_target,
-            l2_coeff: float) -> Tuple[jax.Array, TrainMetrics]:
-    logits, value = model.apply({"params": params}, obs, deterministic=True)
+            l2_coeff: float, dropout_rng=None) -> Tuple[jax.Array,
+                                                        TrainMetrics]:
+    """Training loss.  ``dropout_rng`` enables stochastic regularization —
+    the reference trains with dropout ACTIVE (``model.train()``,
+    train.py:92; Dropout(0.1) in ai/nn.py:44,58) and evaluates in eval
+    mode; families without Dropout modules (dense/resnet) ignore the rng."""
+    if dropout_rng is None:
+        logits, value = model.apply({"params": params}, obs,
+                                    deterministic=True)
+    else:
+        logits, value = model.apply({"params": params}, obs,
+                                    deterministic=False,
+                                    rngs={"dropout": dropout_rng})
     logp = jax.nn.log_softmax(logits, axis=-1)
     policy_loss = jnp.mean(jnp.sum(-policy_target * logp, axis=-1))
     value_loss = jnp.mean((value - value_target) ** 2)
@@ -68,10 +79,12 @@ def make_train_step(model, cfg: TrainConfig, syms=None,
     opt = make_optimizer(cfg)
 
     def train_step(params, opt_state, buffer: ReplayBuffer, rng):
-        obs, pol, val = sample(buffer, rng, cfg.batch_size, syms,
+        rng_s, rng_d = jax.random.split(rng)
+        obs, pol, val = sample(buffer, rng_s, cfg.batch_size, syms,
                                augment_skip)
         grads, metrics = jax.grad(
-            lambda p: loss_fn(model, p, obs, pol, val, cfg.l2_coeff),
+            lambda p: loss_fn(model, p, obs, pol, val, cfg.l2_coeff,
+                              dropout_rng=rng_d),
             has_aux=True,
         )(params)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -84,22 +97,36 @@ def make_train_step(model, cfg: TrainConfig, syms=None,
 def make_train_epoch(model, cfg: TrainConfig, num_steps: int,
                      donate: bool = True, syms=None,
                      augment_skip: int = 0) -> Callable:
-    """Jitted scan of ``num_steps`` train steps (the reference's
-    ``train_iterations = buffer//batch`` inner loop, train.py:95)."""
+    """Jitted scan of up to ``num_steps`` train steps (the reference's
+    ``train_iterations = buffer//batch`` inner loop, train.py:95).
+
+    ``num_active`` (a dynamic scalar ≤ ``num_steps``) masks the tail of the
+    scan so a schedule that computes e.g. 1 SGD step performs exactly 1 —
+    the fixed scan length keeps ONE compilation while steps beyond
+    ``num_active`` leave params/optimizer untouched.  Metrics average over
+    the active steps only."""
     step = make_train_step(model, cfg, syms, augment_skip)
 
-    def epoch(params, opt_state, buffer: ReplayBuffer, rng):
-        def body(carry, _):
+    def epoch(params, opt_state, buffer: ReplayBuffer, rng, num_active):
+        def body(carry, i):
             params, opt_state, rng = carry
             rng, k = jax.random.split(rng)
-            params, opt_state, metrics = step(params, opt_state, buffer, k)
+            new_p, new_o, metrics = step(params, opt_state, buffer, k)
+            active = i < num_active
+            params = jax.tree.map(
+                lambda n, o: jnp.where(active, n, o), new_p, params)
+            opt_state = jax.tree.map(
+                lambda n, o: jnp.where(active, n, o), new_o, opt_state)
+            metrics = jax.tree.map(
+                lambda m: jnp.where(active, m, 0.0), metrics)
             return (params, opt_state, rng), metrics
 
         (params, opt_state, _), metrics = jax.lax.scan(
-            body, (params, opt_state, rng), None, length=num_steps
+            body, (params, opt_state, rng), jnp.arange(num_steps)
         )
-        # report the mean over the epoch
-        mean_metrics = jax.tree.map(jnp.mean, metrics)
+        # mean over the ACTIVE steps (inactive rows were zeroed)
+        denom = jnp.maximum(num_active, 1).astype(jnp.float32)
+        mean_metrics = jax.tree.map(lambda m: jnp.sum(m) / denom, metrics)
         return params, opt_state, mean_metrics
 
     return jax.jit(epoch, donate_argnums=(0, 1) if donate else ())

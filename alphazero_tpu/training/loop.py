@@ -44,7 +44,7 @@ class Trainer:
 
     def __init__(self, cfg: Config, workdir: Optional[str] = None,
                  logger: Optional[MetricsLogger] = None,
-                 display: bool = False):
+                 display: bool = False, persist_config: bool = True):
         # display: render game 0's board after every self-play chunk —
         # the reference's self_play(display=True) (connect4.py:117,141-148)
         self.display = display
@@ -67,9 +67,15 @@ class Trainer:
         self.reject_count = 0
 
         self._syms = Symmetries(self.env)
+        # chunk length: AZ_CHUNK_STEPS env (folded into the module default,
+        # which tests also monkeypatch) > config field > 32
+        self._chunk_steps = (SELFPLAY_CHUNK_STEPS
+                             if _os.environ.get("AZ_CHUNK_STEPS")
+                             or cfg.train.selfplay_chunk_steps is None
+                             else cfg.train.selfplay_chunk_steps)
         self._runner = make_selfplay_runner(
             self.env, self.model, cfg.mcts, cfg.replay,
-            num_steps=SELFPLAY_CHUNK_STEPS, donate=False,
+            num_steps=self._chunk_steps, donate=False,
         )
         self._epoch = make_train_epoch(
             self.model, cfg.train, num_steps=TRAIN_CHUNK_STEPS, donate=False,
@@ -77,12 +83,19 @@ class Trainer:
             augment_skip=cfg.replay.augment_skip_moves,
         )
         self._ckpt = CheckpointManager(f"{workdir}/checkpoints") if workdir else None
-        if workdir:
+        if workdir and persist_config:
             # persist the run's config beside its checkpoints so eval /
             # cross-run tools can rebuild the exact model (the reference
-            # makes the operator re-type Net hyperparameters, main.py:187)
+            # makes the operator re-type Net hyperparameters, main.py:187).
+            # Write-if-absent: an existing run's config.json is the source
+            # of truth for ITS architecture — re-opening the workdir (eval,
+            # resume with a different preset) must not clobber it, and
+            # read-only commands pass persist_config=False so legacy
+            # workdirs don't get a fabricated config either.
+            import os
             from alphazero_tpu.config import save_config
-            save_config(cfg, workdir)
+            if not os.path.exists(os.path.join(workdir, "config.json")):
+                save_config(cfg, workdir)
 
     # ------------------------------------------------------------- phases
     def collect(self, games_target: int) -> dict:
@@ -146,10 +159,12 @@ class Trainer:
         done, metrics = 0, None
         while done < steps:
             self.rng, k = jax.random.split(self.rng)
+            active = min(TRAIN_CHUNK_STEPS, steps - done)
             self.params_new, opt_state, metrics = self._epoch(
-                self.params_new, opt_state, self.buffer, k
+                self.params_new, opt_state, self.buffer, k,
+                jnp.int32(active)
             )
-            done += TRAIN_CHUNK_STEPS
+            done += active
         m = {
             "steps": done,
             "loss": float(metrics.loss),
@@ -293,7 +308,7 @@ class Trainer:
         self.cfg = dataclasses.replace(self.cfg, model=mcfg)
         self._runner = make_selfplay_runner(
             self.env, self.model, self.cfg.mcts, self.cfg.replay,
-            num_steps=SELFPLAY_CHUNK_STEPS, donate=False,
+            num_steps=self._chunk_steps, donate=False,
         )
         self._epoch = make_train_epoch(
             self.model, self.cfg.train, num_steps=TRAIN_CHUNK_STEPS,

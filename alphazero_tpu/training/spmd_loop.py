@@ -31,6 +31,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from alphazero_tpu.config import Config
@@ -38,7 +39,6 @@ from alphazero_tpu.data.replay import to_sharded
 from alphazero_tpu.parallel.mesh import make_mesh
 from alphazero_tpu.parallel.spmd import (make_collect_chunk, make_train_chunk,
                                          shardings_for)
-from alphazero_tpu.training import loop as _loop
 from alphazero_tpu.training.learner import make_optimizer
 from alphazero_tpu.training.loop import TRAIN_CHUNK_STEPS, Trainer
 from alphazero_tpu.utils.metrics import MetricsLogger
@@ -75,7 +75,7 @@ class SpmdTrainer(Trainer):
 
         collect = make_collect_chunk(
             self.env, self.model, cfg, self.mesh,
-            num_steps=_loop.SELFPLAY_CHUNK_STEPS, tensor_parallel=tp,
+            num_steps=self._chunk_steps, tensor_parallel=tp,
             fused_selfplay=fused_selfplay, interpret=interpret)
         # same signature as the single-host runner → Trainer.collect's
         # pipelined fetch loop drives this program unchanged
@@ -84,7 +84,7 @@ class SpmdTrainer(Trainer):
         train = make_train_chunk(self.env, self.model, cfg, self.mesh,
                                  num_steps=TRAIN_CHUNK_STEPS)
         self._train_chunk = jax.jit(
-            train, in_shardings=(p_sh, None, buf_sh, r_sh),
+            train, in_shardings=(p_sh, None, buf_sh, r_sh, None),
             out_shardings=(p_sh, None, r_sh, None, None))
 
         # place the live state
@@ -110,11 +110,12 @@ class SpmdTrainer(Trainer):
         t0 = time.time()
         done, metrics, trained = 0, None, False
         while done < steps:
+            active = min(TRAIN_CHUNK_STEPS, steps - done)
             self.params_new, opt_state, self.rng, metrics, ready = \
                 self._train_chunk(self.params_new, opt_state, self.buffer,
-                                  self.rng)
+                                  self.rng, jnp.int32(active))
             trained = trained or bool(ready)
-            done += TRAIN_CHUNK_STEPS
+            done += active
         m = {
             "steps": done if trained else 0,
             "trained": trained,       # False ⇔ warm-up gate held (a shard
@@ -130,8 +131,13 @@ class SpmdTrainer(Trainer):
 
     def gate(self) -> float:
         """Contender-vs-best arena on replicated params.  A contender that
-        never trained (warm-up) auto-fails so promotion waits for data."""
-        if not bool(np.all(np.asarray(self.buffer.size) > 0)):
+        never trained (warm-up) auto-fails so promotion waits for data.
+
+        The readiness check is a device-side reduction fetched as a scalar:
+        on a multi-host pod slice the sharded ``buffer.size`` is not fully
+        addressable, so ``np.asarray`` on it would raise — ``jnp.min``
+        produces a replicated scalar every host can read."""
+        if not bool(jax.device_get(jnp.min(self.buffer.size) > 0)):
             return 0.0 if self.cfg.train.gate_enabled else 1.0
         return super().gate()
 

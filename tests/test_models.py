@@ -197,3 +197,40 @@ def test_expand_vit_depth_preserves_function():
     x = jnp.ones((2, env.feature_dim, env.rows, env.cols))
     logits, value = model2.apply({"params": params2}, x, deterministic=True)
     assert logits.shape == (2, env.action_dim)
+
+
+def test_training_dropout_active():
+    """The learner trains with dropout ACTIVE for the ViT family — the
+    reference's model.train() (train.py:92) with Dropout(0.1) in
+    ai/nn.py:44,58 — and inference stays deterministic.  Families without
+    Dropout modules are unaffected by the rng."""
+    from alphazero_tpu.training.learner import loss_fn
+
+    env = make_env("tictactoe")
+    cfg = ModelConfig(family="vit", embed_dim=32, patch_size=3, num_heads=4,
+                      depth=1, dropout=0.5, compute_dtype="float32")
+    model = build_model(cfg, env)
+    params = init_params(model, env, jax.random.PRNGKey(0))
+    obs = jax.random.normal(
+        jax.random.PRNGKey(1), (8, env.feature_dim, env.rows, env.cols))
+    pol = jnp.ones((8, env.action_dim)) / env.action_dim
+    val = jnp.zeros((8,))
+
+    l_a, _ = loss_fn(model, params, obs, pol, val, 0.0,
+                     dropout_rng=jax.random.PRNGKey(2))
+    l_b, _ = loss_fn(model, params, obs, pol, val, 0.0,
+                     dropout_rng=jax.random.PRNGKey(3))
+    assert float(l_a) != float(l_b)          # dropout mask really applies
+    l_c, _ = loss_fn(model, params, obs, pol, val, 0.0)
+    l_d, _ = loss_fn(model, params, obs, pol, val, 0.0)
+    assert float(l_c) == float(l_d)          # eval mode is deterministic
+
+    # dense family: no Dropout modules — rng is a no-op
+    dcfg = ModelConfig(family="dense", width=32, blocks=1,
+                       compute_dtype="float32")
+    dmodel = build_model(dcfg, env)
+    dparams = init_params(dmodel, env, jax.random.PRNGKey(0))
+    l_e, _ = loss_fn(dmodel, dparams, obs, pol, val, 0.0,
+                     dropout_rng=jax.random.PRNGKey(2))
+    l_f, _ = loss_fn(dmodel, dparams, obs, pol, val, 0.0)
+    np.testing.assert_allclose(float(l_e), float(l_f), rtol=0, atol=0)

@@ -93,7 +93,7 @@ def test_train_chunk_warmup_gate():
     # capacity divisible into 8 shard rings: 16 blocks/shard × L=9
     buf = create_sharded(env, 8 * 16 * env.max_moves, 8)
     p2, o2, rng2, metrics, ready = jax.jit(train)(
-        params, opt_state, buf, jax.random.PRNGKey(1))
+        params, opt_state, buf, jax.random.PRNGKey(1), jnp.int32(2))
     assert not bool(ready)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -109,7 +109,7 @@ def test_train_chunk_warmup_gate():
                     jnp.ones((n,), bool))
     assert int(jnp.min(buf.size)) == 1
     p3, o3, rng3, metrics, ready = jax.jit(train)(
-        params, opt_state, buf, jax.random.PRNGKey(1))
+        params, opt_state, buf, jax.random.PRNGKey(1), jnp.int32(2))
     assert bool(ready)
     moved = any(not np.array_equal(np.asarray(a), np.asarray(b))
                 for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p3)))
