@@ -64,6 +64,12 @@ def supports_fused(env, batch: int, cfg: MCTSConfig, model) -> bool:
     N = cfg.num_simulations + 1
     A = env.action_dim
     tree_bytes = (2 + A) * N * batch * 4   # visit+val + packed edges
+    # d=1 peel mirrors: three (A, A, B) f32 scratch buffers (packed edges,
+    # enc visit/value of depth-2 children) — negligible at connect4's A=7
+    # but real for larger-action dense envs
+    tree_bytes += 3 * A * A * batch * 4
+    if A <= 16:  # d=2 peel mirrors (three (A, A, A, B) buffers, _use_d2)
+        tree_bytes += 3 * A * A * A * batch * 4
     weight_bytes = 2 * (model.width * model.width * 2 * model.blocks
                         + model.width * 600)
     act_bytes = 8 * model.width * batch * 4
@@ -114,6 +120,13 @@ def _pack_dense_params(model, params):
     ws.append(jnp.zeros((8, wvh.shape[1]), jnp.float32).at[0:1].set(wvh))
     ws.append(b2(params["value_head"], 1))
     return ws
+
+
+def _use_d2(env) -> bool:
+    """Whether the d=2 peel's (A, A, A, B) mirrors are worth their VMEM
+    and maintenance: the A³ keyspace must stay small (connect4 A=7,
+    tictactoe A=9 — the dense-family envs)."""
+    return env.action_dim <= 16
 
 
 def _qfrac(p):
@@ -251,11 +264,11 @@ def _dense_forward_2x(env, model, wrefs, obs, W_lines, n_way=2):
     return probs, value
 
 
-def _leaf_eval(env, model, wrefs, obs, W_lines):
+def _leaf_eval(env, model, wrefs, obs, W_lines, cfg=None):
     """Leaf/root evaluation dispatch: interleaved n-way forward when the
     lane count splits into ≥128-lane groups, else the plain chain.  Tests
     monkeypatch THIS hook to stub the network."""
-    n_way = _env_knob("AZ_FWD_NWAY", 2)
+    n_way = _env_knob("AZ_FWD_NWAY", 2, cfg.fwd_nway if cfg else None)
     if n_way > 1 and obs.shape[1] % (128 * n_way) == 0:
         return _dense_forward_2x(env, model, wrefs, obs, W_lines,
                                  n_way=n_way)
@@ -293,6 +306,25 @@ def _update_d1_cache(A, B, rcv1_ref, rcq1_ref, a0, a1, depth, do_expand,
     sign2 = jnp.where((depth - 2) % 2 == 0, 1.0, -1.0)
     rcv1_ref[:] = rcv1_ref[:] + m3 * inc2[None]
     rcq1_ref[:] = rcq1_ref[:] + m3 * (sign2 * leaf_value)[None]
+
+
+def _update_d2_cache(A, B, rcv2_ref, rcq2_ref, a0, a1, a2, depth,
+                     do_expand, leaf_value):
+    """Mirror maintenance one level below _update_d1_cache: the
+    (A, A², B) mirrors hold the enc visit / value sums of DEPTH-3 nodes
+    keyed (a2, k = a1·A + a0) — the triple uniquely names the node in a
+    tree.  The backup's d=3 ply adds ``inc`` (+0.5 enc on fresh
+    expansion) and ``sign·leaf_value`` exactly as it does into the node's
+    tree rows, so the peeled d=2 step (pallas_mcts._descend) reads
+    bitwise-identical stats."""
+    live3 = (depth >= 3).astype(jnp.float32)                  # (1, B)
+    oh01 = (_iota(A * A, B) == (a1 * A + a0)).astype(jnp.float32)
+    ohA2 = (_iota(A, B) == a2).astype(jnp.float32)
+    m4 = ohA2[:, None, :] * (oh01 * live3)[None]              # (A, A², B)
+    inc3 = 1.0 + jnp.where((depth == 3) & do_expand, 0.5, 0.0)
+    sign3 = jnp.where((depth - 3) % 2 == 0, 1.0, -1.0)
+    rcv2_ref[:] = rcv2_ref[:] + m4 * inc3[None]
+    rcq2_ref[:] = rcq2_ref[:] + m4 * (sign3 * leaf_value)[None]
 
 
 def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
@@ -335,6 +367,8 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
             rc_use = rc
             if rc is not None and os.environ.get("AZ_NO_D1"):
                 rc_use = rc[:2]        # A/B: disable the d=1 peel/mirrors
+            elif rc is not None and os.environ.get("AZ_NO_D2"):
+                rc_use = rc[:5]        # A/B: disable the d=2 peel/mirrors
             depth, parent, action, chsel, p0, p1, heights = _descend(
                 env, cfg, Nc, A, B, dcap, visit, val, None,
                 pc_s[:, 0:Nc, :], None, path_s,
@@ -349,7 +383,8 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
                 env, B, W_ref, aux_ref, rootp, rootmc, depth, root_case,
                 chsel, slot, alloc, p0, p1, heights)
 
-            probs, value = _leaf_eval(env, model, wrefs, obs, W_ref[:])
+            probs, value = _leaf_eval(env, model, wrefs, obs, W_ref[:],
+                                      cfg)
 
             # ---- expansion (packed edges: see _apply_sim)
             do_expand = (alloc > 0) & (terminal == 0)
@@ -360,12 +395,14 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
                 .astype(jnp.float32)
             oha = (_iota(A, B) == action).astype(jnp.float32)
             edge = ohp[None] * oha[:, None, :]
-            pc_w = pc_s[:, 0:Nc, :]
-            pc_s[:, 0:Nc, :] = jnp.where(
-                edge > 0, (slot.astype(jnp.float32) + 2.0)
-                + (pc_w - jnp.floor(pc_w)), pc_w)
+            # allocation edges hold exactly 1 + frac (chsel < 0 ⇔ integer
+            # part 1), so += edge·(slot+1) produces (slot+2) + frac
+            # BITWISE (both addends multiples of 2⁻¹⁵ < 512; frac
+            # preserved) — one FMA pass instead of floor/sub/select
+            pc_s[:, 0:Nc, :] = (pc_s[:, 0:Nc, :]
+                                + edge * (slot.astype(jnp.float32) + 1.0))
 
-            if rc_use is not None and len(rc_use) == 5:
+            if rc_use is not None and len(rc_use) >= 5:
                 # ---- d1 mirror maintenance (pc1 edge rows of depth-1
                 # nodes keyed by root action a0; see _update_d1_cache)
                 pc1 = rc[2]
@@ -383,10 +420,30 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
                 a1_oh = oha                                   # (A, B)
                 d2a = ((alloc > 0) & (depth == 2)).astype(jnp.float32)
                 m_edge = a1_oh[:, None, :] * a0_oh[None] * d2a[None]
-                pc1_w = jnp.where(
-                    m_edge > 0, (slot.astype(jnp.float32) + 2.0)
-                    + (pc1_w - jnp.floor(pc1_w)), pc1_w)
-                pc1[:] = pc1_w
+                # same exact += (slot+1) trick as the pc_s edge update
+                pc1[:] = pc1_w + m_edge * (slot.astype(jnp.float32) + 1.0)
+
+            if rc_use is not None and len(rc_use) == 8:
+                # ---- d2 mirror maintenance (pc2 edge rows of depth-2
+                # nodes keyed k = a1·A + a0; see _update_d2_cache)
+                pc2 = rc[5]
+                a1p = apath_s[pl.ds(1, 1), :]                 # (1, B)
+                # expansion AT depth 2: the new node IS a depth-2 node
+                # (reached by edge a1 = action from root child a0) — copy
+                # its whole edge row into pc2[:, action·A + a0]
+                d2x = (do_expand & (depth == 2))
+                ohx = (_iota(A * A, B) == (action * A + a0)) & d2x
+                m_row2 = ohx.astype(jnp.float32)              # (A², B)
+                pc2_w = pc2[:]
+                pc2_w = jnp.where(m_row2[None] > 0,
+                                  new_row[:, None, :], pc2_w)
+                # allocation at depth 3: the parent (a depth-2 node keyed
+                # k = apath[1]·A + a0) edge a2 = action now points at the
+                # slot — exact += (slot+1), as for pc_s/pc1
+                d3a = ((alloc > 0) & (depth == 3))
+                ohp2 = (_iota(A * A, B) == (a1p * A + a0)) & d3a
+                m_edge2 = oha[:, None, :] * ohp2.astype(jnp.float32)[None]
+                pc2[:] = pc2_w + m_edge2 * (slot.astype(jnp.float32) + 1.0)
 
             # ---- backup (ai/node.py:62-74 semantics); the leaf ply adds
             # 1 + 0.5·expand into the enc array, interior plies add 1
@@ -406,7 +463,7 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
                 return d + 1, visit, val
 
             # 2x unroll — loop control dominates; overrun plies mask to 0
-            bku = _env_knob("AZ_BK_UNROLL", 2)
+            bku = _env_knob("AZ_BK_UNROLL", 2, cfg.backup_unroll)
 
             def nbk(c):
                 for _ in range(bku):
@@ -421,10 +478,16 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
                 _update_root_cache(A, B, rc[0], rc[1],
                                    apath_s[pl.ds(0, 1), :], depth,
                                    do_expand, leaf_value)
-                if len(rc_use) == 5:
+                if len(rc_use) >= 5:
                     _update_d1_cache(A, B, rc[3], rc[4],
                                      apath_s[pl.ds(0, 1), :],
                                      apath_s[pl.ds(1, 1), :], depth,
+                                     do_expand, leaf_value)
+                if len(rc_use) == 8:
+                    _update_d2_cache(A, B, rc[6], rc[7],
+                                     apath_s[pl.ds(0, 1), :],
+                                     apath_s[pl.ds(1, 1), :],
+                                     apath_s[pl.ds(2, 1), :], depth,
                                      do_expand, leaf_value)
             return 0
 
@@ -434,7 +497,8 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
     # Row budget: simulation s backs up into row ``leaf`` ≤ s, so sims
     # [lo, hi) need Nc ≥ hi rows (rounded to the 8-sublane tile).
     S = cfg.num_simulations
-    n_seg = _env_knob("AZ_NSEG", 4 if S >= 128 else (2 if S >= 64 else 1))
+    n_seg = _env_knob("AZ_NSEG", 4 if S >= 128 else (2 if S >= 64 else 1),
+                      cfg.nseg)
     lo = 1
     for k in range(1, n_seg + 1):
         hi = min(S, -(-S * k) // n_seg)
@@ -477,7 +541,7 @@ def _descend_leaf(env, cfg, model, dcap, W_ref, aux_ref, get_board, rootp,
 
 
 def _apply_sim(env, dcap, visit_s, val_s, pc_s, path_s,
-               Nc, slot, pend, probs, value, rc=None):
+               Nc, slot, pend, probs, value, rc=None, cfg=None):
     """Expansion + backup of a completed simulation (enc-coded visit,
     packed prior+children edges)."""
     A = env.action_dim
@@ -496,10 +560,9 @@ def _apply_sim(env, dcap, visit_s, val_s, pc_s, path_s,
         .astype(jnp.float32)
     oha = (_iota(A, B) == pend["action"]).astype(jnp.float32)
     edge = ohp[None] * oha[:, None, :]
-    pc_w = pc_s[:, 0:Nc, :]
-    pc_s[:, 0:Nc, :] = jnp.where(
-        edge > 0, (slot.astype(jnp.float32) + 2.0)
-        + (pc_w - jnp.floor(pc_w)), pc_w)
+    # exact += (slot+1): see _run_move_sims' edge update
+    pc_s[:, 0:Nc, :] = (pc_s[:, 0:Nc, :]
+                        + edge * (slot.astype(jnp.float32) + 1.0))
 
     leaf_value = jnp.where(terminal > 0, tval, -value)
     dmax = jnp.max(depth)
@@ -516,7 +579,7 @@ def _apply_sim(env, dcap, visit_s, val_s, pc_s, path_s,
 
     # same AZ_BK_UNROLL knob as _run_move_sims' backup so the tuner
     # measures both backup paths consistently (overrun plies mask to 0)
-    bku = _env_knob("AZ_BK_UNROLL", 2)
+    bku = _env_knob("AZ_BK_UNROLL", 2, cfg.backup_unroll if cfg else None)
 
     def nbk(c):
         for _ in range(bku):
@@ -561,10 +624,10 @@ def _run_move_sims_2x(env, cfg: MCTSConfig, model, dcap: int, wrefs,
     def ap(h, Nc, slot, pend, probs, value):
         (_, _, _, visit_s, val_s, pc_s, path_s, _, rc) = halves[h]
         _apply_sim(env, dcap, visit_s, val_s, pc_s, path_s,
-                   Nc, slot, pend, probs, value, rc=rc)
+                   Nc, slot, pend, probs, value, rc=rc, cfg=cfg)
 
     def fwd(obs):
-        return _leaf_eval(env, model, wrefs, obs, W_ref[:])
+        return _leaf_eval(env, model, wrefs, obs, W_ref[:], cfg)
 
     # ---- prologue: slot 1 descends; half0's forward issues first
     n_seg = 4 if S >= 128 else (2 if S >= 64 else 1)
@@ -638,8 +701,12 @@ def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
      W_ref, aux_ref) = refs[:8]
     wrefs = refs[8:8 + n_w]
     counts_ref, rootq_ref = refs[8 + n_w:10 + n_w]
+    scratch = refs[10 + n_w:]
     (visit_s, val_s, pc_s, path_s, apath_s, rcv_s, rcq_s,
-     pc1_s, rcv1_s, rcq1_s) = refs[10 + n_w:]
+     pc1_s, rcv1_s, rcq1_s) = scratch[:10]
+    d2 = len(scratch) == 13
+    if d2:
+        pc2_s, rcv2_s, rcq2_s = scratch[10:]
 
     A = env.action_dim
     N = visit_s.shape[0]
@@ -664,6 +731,12 @@ def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
     pc1_s[:] = jnp.zeros((A, A, B), jnp.float32)
     rcv1_s[:] = jnp.zeros((A, A, B), jnp.float32)
     rcq1_s[:] = jnp.zeros((A, A, B), jnp.float32)
+    rc = (rcv_s, rcq_s, pc1_s, rcv1_s, rcq1_s)
+    if d2:
+        pc2_s[:] = jnp.zeros((A, A * A, B), jnp.float32)
+        rcv2_s[:] = jnp.zeros((A, A * A, B), jnp.float32)
+        rcq2_s[:] = jnp.zeros((A, A * A, B), jnp.float32)
+        rc = rc + (pc2_s, rcv2_s, rcq2_s)
 
     def get_board():
         return (board_ref[0, :, :].astype(jnp.float32),
@@ -671,7 +744,7 @@ def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
 
     _run_move_sims(env, cfg, model, dcap, wrefs, W_ref, aux_ref, get_board,
                    rootp, rootmc, visit_s, val_s, pc_s, path_s, apath_s,
-                   rc=(rcv_s, rcq_s, pc1_s, rcv1_s, rcq1_s))
+                   rc=rc)
 
     counts, rootq = _root_counts(env, visit_s, pc_s, val_s, rcv=rcv_s)
     counts_ref[:] = counts
@@ -772,7 +845,10 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
          rcv0, rcv1, rcq0, rcq1) = scratch
     else:
         (visit_s, val_s, pc_s, path_s, apath_s, rcv_s, rcq_s,
-         pc1_s, rcv1_s, rcq1_s) = scratch
+         pc1_s, rcv1_s, rcq1_s) = scratch[:10]
+        d2 = len(scratch) == 13
+        if d2:
+            pc2_s, rcv2_s, rcq2_s = scratch[10:]
 
     A = env.action_dim
     RC = env.rows * env.cols
@@ -802,7 +878,7 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
             obs = jnp.concatenate([mine, theirs], axis=0)
 
         # ---- root evaluation + Dirichlet mix (ai/mcts.py:34-53)
-        probs0, value0 = _leaf_eval(env, model, wrefs, obs, W_ref[:])
+        probs0, value0 = _leaf_eval(env, model, wrefs, obs, W_ref[:], cfg)
         if cfg.use_dirichlet:
             nz = noise_ref[pl.ds(m * Ap, A), :]
             probs0 = (1.0 - eps) * probs0 + eps * nz
@@ -865,11 +941,16 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
             pc1_s[:] = jnp.zeros((A, A, B), jnp.float32)
             rcv1_s[:] = jnp.zeros((A, A, B), jnp.float32)
             rcq1_s[:] = jnp.zeros((A, A, B), jnp.float32)
+            rc = (rcv_s, rcq_s, pc1_s, rcv1_s, rcq1_s)
+            if d2:
+                pc2_s[:] = jnp.zeros((A, A * A, B), jnp.float32)
+                rcv2_s[:] = jnp.zeros((A, A * A, B), jnp.float32)
+                rcq2_s[:] = jnp.zeros((A, A * A, B), jnp.float32)
+                rc = rc + (pc2_s, rcv2_s, rcq2_s)
 
             _run_move_sims(env, cfg, model, dcap, wrefs, W_ref, aux_ref,
                            lambda: (p0, p1), player, mc, visit_s, val_s,
-                           pc_s, path_s, apath_s,
-                           rc=(rcv_s, rcq_s, pc1_s, rcv1_s, rcq1_s))
+                           pc_s, path_s, apath_s, rc=rc)
 
             counts, rootq = _root_counts(env, visit_s, pc_s, val_s,
                                          rcv=rcv_s)
@@ -1016,6 +1097,12 @@ def run_selfplay_chunk_fused(env, model, params, boards, players,
             pltpu.VMEM((A, A, B), jnp.float32),          # d1 cvisit (enc)
             pltpu.VMEM((A, A, B), jnp.float32),          # d1 cval
         ]
+        if _use_d2(env):
+            scratch += [
+                pltpu.VMEM((A, A * A, B), jnp.float32),  # d2 edge rows
+                pltpu.VMEM((A, A * A, B), jnp.float32),  # d2 cvisit (enc)
+                pltpu.VMEM((A, A * A, B), jnp.float32),  # d2 cval
+            ]
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     kern = pl.pallas_call(
         functools.partial(_chunk_kernel, env, cfg, dcap, model, n_w, M,
@@ -1132,7 +1219,11 @@ def run_mcts_fused(env, model, params, eval_fn, boards, players,
             pltpu.VMEM((A, A, B), jnp.float32),          # d1 edge rows
             pltpu.VMEM((A, A, B), jnp.float32),          # d1 cvisit (enc)
             pltpu.VMEM((A, A, B), jnp.float32),          # d1 cval
-        ],
+        ] + ([
+            pltpu.VMEM((A, A * A, B), jnp.float32),      # d2 edge rows
+            pltpu.VMEM((A, A * A, B), jnp.float32),      # d2 cvisit (enc)
+            pltpu.VMEM((A, A * A, B), jnp.float32),      # d2 cval
+        ] if _use_d2(env) else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

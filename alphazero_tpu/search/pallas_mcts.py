@@ -47,19 +47,23 @@ from alphazero_tpu.envs.core import _make_line_matrix
 NEG = -1e30
 
 
-def _env_knob(name: str, default: int) -> int:
-    """Tuning knob from the environment, clamped to ≥ 1.
+def _env_knob(name: str, default: int, cfg_val=None) -> int:
+    """Tuning knob, clamped to ≥ 1.  Precedence: env var > ``cfg_val``
+    (the corresponding MCTSConfig field, None = unset) > ``default``.
 
     These are TRACE-TIME constants: they bake into the first compilation of
     a given shape and changing them later in-process has no effect (the
-    jit/pallas cache keys don't include them).  Values < 1 would silently
-    corrupt search (AZ_NSEG=0 → empty segment range → zero simulations →
-    root-prior-only counts), so clamp."""
+    jit/pallas cache keys don't include the env var — config fields DO key
+    the cache since the whole MCTSConfig participates in tracing closures).
+    Values < 1 would silently corrupt search (AZ_NSEG=0 → empty segment
+    range → zero simulations → root-prior-only counts), so clamp."""
     import os
+    if cfg_val is not None:
+        default = int(cfg_val)
     try:
         v = int(os.environ.get(name, default))
     except ValueError:
-        return default
+        return max(int(default), 1)
     return max(v, 1)
 
 
@@ -402,7 +406,7 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
         init = (1, node1, pv1, stop1, depth1, parent1, action1, chsel1,
                 p0_1, p1_1, h1)
 
-    if root_cache is not None and len(root_cache) == 5 and dcap > 2:
+    if root_cache is not None and len(root_cache) >= 5 and dcap > 2:
         # ---- peeled d=1 step: the depth-1 node's edge row and its
         # children's stats come from (A, A, B) mirrors keyed by the root
         # action a0 (maintained by expansion/backup — pallas_fused
@@ -411,7 +415,7 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
         # d=1 step, so this removes the walk's second-most-expensive
         # gather pass entirely.  Mirrors the body exactly (see the
         # WARNING on ``body``); bitwise-identical results.
-        pc1_m, rc1_visit, rc1_val = root_cache[2:]
+        pc1_m, rc1_visit, rc1_val = root_cache[2:5]
         frozen1 = stop1 > 0
         pcrow1 = jnp.sum(pc1_m * act0_oh[None], axis=1)       # (A, B)
         fl1 = jnp.floor(pcrow1)
@@ -461,6 +465,71 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
         p1_2 = p1_1 + cell_oh1 * (1.0 - is0_1)
         init = (2, node2, pv2, stop2, depth2, parent2, action2, chsel2,
                 p0_2, p1_2, h2)
+
+    if root_cache is not None and len(root_cache) == 8 and dcap > 3:
+        # ---- peeled d=2 step: the depth-2 node's edge row and its
+        # children's (= depth-3 nodes') stats come from (A, A, A, B)
+        # mirrors keyed (a1, a0) / (a2, a1, a0) — the triple uniquely
+        # names the node in a tree.  With 200 sims most allocations land
+        # at depth 3, so nearly every walk executes a d=2 step; peeling it
+        # removes one O(A·N·B) gather iteration of the while-loop for all
+        # of them.  Mirrors the body exactly (see the WARNING on ``body``);
+        # bitwise-identical results.  Maintained by pallas_fused's sim
+        # body (_update_d2_cache + the pc2 expansion/edge writes).
+        pc2_m, rc2_visit, rc2_val = root_cache[5:]
+        frozen2 = stop2 > 0
+        # mirrors are (A, A², B) keyed k = a1·A + a0 (flat 3-D layout —
+        # 4-D VMEM arrays hit Mosaic relayout limits)
+        key01 = act1 * A + act0                               # (1, B)
+        oh01 = (_iota(A * A, B) == key01).astype(jnp.float32)  # (A², B)
+        pcrow2 = jnp.sum(pc2_m * oh01[None], axis=1)          # (A, B)
+        fl2 = jnp.floor(pcrow2)
+        crow2 = fl2 - 2.0
+        prow2 = (pcrow2 - fl2) * 2.0
+        cv2 = jnp.sum(rc2_visit * oh01[None], axis=1)         # (A, B)
+        cl2 = jnp.sum(rc2_val * oh01[None], axis=1)
+        cfl2 = jnp.floor(cv2)
+        cexp2 = (cv2 - cfl2) * 2.0
+        q2 = jnp.where(cfl2 > 0, cl2 / jnp.maximum(cfl2, 1.0), 0.0)
+        explore2 = prow2 * (jnp.sqrt(pv2) / (cfl2 + 1.0))
+        if cfg.formula == "alphazero":
+            explore2 = cfg.c_puct * explore2
+        ucb2 = jnp.where(fl2 == 0, NEG, q2 + explore2)
+        act2 = _argmax_first(ucb2, A, B)                      # (1, B)
+        act2_oh = (_iota(A, B) == act2).astype(jnp.float32)
+        c_sel2 = jnp.sum(crow2 * act2_oh, axis=0, keepdims=True)
+        v_sel2 = jnp.sum(cfl2 * act2_oh, axis=0, keepdims=True)
+        e_sel2 = jnp.sum(cexp2 * act2_oh, axis=0, keepdims=True)
+        now_stop2 = ((c_sel2 < 0) | (e_sel2 == 0)).astype(jnp.int32)
+        prow_old2 = path_ref[pl.ds(path_off + 2, 1), :]
+        arow_old2 = apath_ref[pl.ds(2, 1), :]
+        path_ref[pl.ds(path_off + 2, 1), :] = jnp.where(frozen2, prow_old2,
+                                                        node2)
+        apath_ref[pl.ds(2, 1), :] = jnp.where(frozen2, arow_old2, act2)
+        parent3 = jnp.where(frozen2, parent2, node2)
+        action3 = jnp.where(frozen2, action2, act2)
+        chsel3 = jnp.where(frozen2, chsel2, c_sel2)
+        depth3 = jnp.where(frozen2, depth2, 3)
+        node3 = jnp.where(frozen2 | (now_stop2 > 0), node2,
+                          c_sel2.astype(jnp.int32))
+        pv3 = jnp.where(frozen2, pv2, v_sel2)
+        stop3 = jnp.maximum(stop2, now_stop2)
+        # apply the d=2 move for active lanes (body's board update)
+        active2 = 1.0 - frozen2.astype(jnp.float32)
+        if env.name == "connect4":
+            col_oh2 = (_iota(C, B) == act2).astype(jnp.float32)
+            hh2 = jnp.sum(h2 * col_oh2, axis=0, keepdims=True)
+            cell2 = (R - 1 - hh2.astype(jnp.int32)) * C + act2
+            h3 = h2 + col_oh2 * active2
+        else:
+            cell2 = act2
+            h3 = h2
+        cell_oh2 = (_iota(RC, B) == cell2).astype(jnp.float32) * active2
+        is0_2 = jnp.asarray((rootp + 2) % 2 == 0, jnp.float32)  # mover d=2
+        p0_3 = p0_2 + cell_oh2 * is0_2
+        p1_3 = p1_2 + cell_oh2 * (1.0 - is0_2)
+        init = (3, node3, pv3, stop3, depth3, parent3, action3, chsel3,
+                p0_3, p1_3, h3)
     # Unrolling trades loop-control overhead (branch + cross-lane
     # `min(stop)` reduction + scalar sync per iteration) against wasted
     # overrun bodies — the loop runs until the DEEPEST lane of the batch
@@ -468,7 +537,8 @@ def _descend(env, cfg, N, A, B, dcap, visit, val, expd, prior, children,
     # bodies.  Measured on v5e (scripts/prof_tune.py, connect4 flagship):
     # 2x wins once the root peel shortens every walk by one step
     # (78.6k env-steps/s vs 74.1k at 4x, 74.2k at 1x, 74.5k at 3x).
-    unroll = _env_knob("AZ_DESC_UNROLL", 2 if root_cache is not None else 4)
+    unroll = _env_knob("AZ_DESC_UNROLL", 2 if root_cache is not None else 4,
+                       cfg.desc_unroll)
 
     def nbody(c):
         for _ in range(unroll):

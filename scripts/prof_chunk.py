@@ -70,7 +70,7 @@ def time_kernel_only(B, M, tag, n=4):
     return dt
 
 
-def fake_forward(env_, model_, wrefs, obs, W_lines):
+def fake_forward(env_, model_, wrefs, obs, W_lines, cfg=None):
     A = env_.action_dim
     Bl = obs.shape[1]
     s = jnp.sum(obs, axis=0, keepdims=True)

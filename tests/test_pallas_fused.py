@@ -244,7 +244,7 @@ def _exact_stub_forwards(env):
     groups = np.stack([(np.arange(n) % A == a).astype(np.float32)
                        for a in range(A)])                  # (A, n)
 
-    def kernel_stub(env_, model, wrefs, obs, W_lines):
+    def kernel_stub(env_, model, wrefs, obs, W_lines, cfg=None):
         # obs (F·RC, B) of 0/1 values; group masks built in-kernel (pallas
         # kernels cannot capture array constants)
         ids = jax.lax.broadcasted_iota(jnp.int32, (n, obs.shape[1]), 0)
