@@ -344,6 +344,12 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
     """
     A = env.action_dim
     N, B = visit_s.shape
+    import os
+    rc_use = rc
+    if rc is not None and os.environ.get("AZ_NO_D1"):
+        rc_use = rc[:2]            # A/B: disable the d=1 peel/mirrors
+    elif rc is not None and os.environ.get("AZ_NO_D2"):
+        rc_use = rc[:5]            # A/B: disable the d=2 peel/mirrors
 
     def make_sim(Nc):
         """Simulation body over the first ``Nc`` tree rows only.
@@ -355,140 +361,13 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
         """
 
         def sim(slot, _):
-            visit = visit_s[0:Nc, :]
-            val = val_s[0:Nc, :]
-            p0_r, p1_r = get_board()
-            if env.name == "connect4":
-                h0 = jnp.dot(aux_ref[:], p0_r + p1_r,
-                             preferred_element_type=jnp.float32)
-            else:
-                h0 = jnp.zeros((1, B), jnp.float32)
-            import os
-            rc_use = rc
-            if rc is not None and os.environ.get("AZ_NO_D1"):
-                rc_use = rc[:2]        # A/B: disable the d=1 peel/mirrors
-            elif rc is not None and os.environ.get("AZ_NO_D2"):
-                rc_use = rc[:5]        # A/B: disable the d=2 peel/mirrors
-            depth, parent, action, chsel, p0, p1, heights = _descend(
-                env, cfg, Nc, A, B, dcap, visit, val, None,
-                pc_s[:, 0:Nc, :], None, path_s,
-                apath_s, board=(p0_r, p1_r, h0, rootp),
-                root_cache=(None if rc_use is None
-                            else tuple(r[:] for r in rc_use)),
-                root_pv=slot.astype(jnp.float32))
-            root_case = (parent < 0).astype(jnp.float32)
-            alloc = ((parent >= 0) & (chsel < 0)).astype(jnp.float32)
-
-            leaf, terminal, tval, obs, valid = _leaf_finish(
-                env, B, W_ref, aux_ref, rootp, rootmc, depth, root_case,
-                chsel, slot, alloc, p0, p1, heights)
-
-            probs, value = _leaf_eval(env, model, wrefs, obs, W_ref[:],
-                                      cfg)
-
-            # ---- expansion (packed edges: see _apply_sim)
-            do_expand = (alloc > 0) & (terminal == 0)
-            new_row = jnp.where(do_expand & (valid > 0),
-                                1.0 + _qfrac(probs), 0.0)     # (A, B)
-            pc_s[:, pl.ds(slot, 1), :] = new_row[:, None, :]
-            ohp = (_iota(Nc, B) == jnp.where(alloc > 0, parent, Nc)) \
-                .astype(jnp.float32)
-            oha = (_iota(A, B) == action).astype(jnp.float32)
-            edge = ohp[None] * oha[:, None, :]
-            # allocation edges hold exactly 1 + frac (chsel < 0 ⇔ integer
-            # part 1), so += edge·(slot+1) produces (slot+2) + frac
-            # BITWISE (both addends multiples of 2⁻¹⁵ < 512; frac
-            # preserved) — one FMA pass instead of floor/sub/select
-            pc_s[:, 0:Nc, :] = (pc_s[:, 0:Nc, :]
-                                + edge * (slot.astype(jnp.float32) + 1.0))
-
-            if rc_use is not None and len(rc_use) >= 5:
-                # ---- d1 mirror maintenance (pc1 edge rows of depth-1
-                # nodes keyed by root action a0; see _update_d1_cache)
-                pc1 = rc[2]
-                a0 = apath_s[pl.ds(0, 1), :]                  # (1, B)
-                a0_oh = (_iota(A, B) == a0).astype(jnp.float32)
-                # expansion AT depth 1: the new node IS a root child —
-                # copy its whole edge row into pc1[:, a0]
-                d1x = (do_expand & (depth == 1)).astype(jnp.float32)
-                m_row = a0_oh[None] * d1x[None]               # (1, A, B)
-                pc1_w = pc1[:]
-                pc1_w = jnp.where(m_row > 0, new_row[:, None, :], pc1_w)
-                # allocation at depth 2: the parent (a depth-1 node) edge
-                # (a1 = action) now points at the slot — mirror the pc_s
-                # edge update (terminal leaves included, as in pc_s)
-                a1_oh = oha                                   # (A, B)
-                d2a = ((alloc > 0) & (depth == 2)).astype(jnp.float32)
-                m_edge = a1_oh[:, None, :] * a0_oh[None] * d2a[None]
-                # same exact += (slot+1) trick as the pc_s edge update
-                pc1[:] = pc1_w + m_edge * (slot.astype(jnp.float32) + 1.0)
-
-            if rc_use is not None and len(rc_use) == 8:
-                # ---- d2 mirror maintenance (pc2 edge rows of depth-2
-                # nodes keyed k = a1·A + a0; see _update_d2_cache)
-                pc2 = rc[5]
-                a1p = apath_s[pl.ds(1, 1), :]                 # (1, B)
-                # expansion AT depth 2: the new node IS a depth-2 node
-                # (reached by edge a1 = action from root child a0) — copy
-                # its whole edge row into pc2[:, action·A + a0]
-                d2x = (do_expand & (depth == 2))
-                ohx = (_iota(A * A, B) == (action * A + a0)) & d2x
-                m_row2 = ohx.astype(jnp.float32)              # (A², B)
-                pc2_w = pc2[:]
-                pc2_w = jnp.where(m_row2[None] > 0,
-                                  new_row[:, None, :], pc2_w)
-                # allocation at depth 3: the parent (a depth-2 node keyed
-                # k = apath[1]·A + a0) edge a2 = action now points at the
-                # slot — exact += (slot+1), as for pc_s/pc1
-                d3a = ((alloc > 0) & (depth == 3))
-                ohp2 = (_iota(A * A, B) == (a1p * A + a0)) & d3a
-                m_edge2 = oha[:, None, :] * ohp2.astype(jnp.float32)[None]
-                pc2[:] = pc2_w + m_edge2 * (slot.astype(jnp.float32) + 1.0)
-
-            # ---- backup (ai/node.py:62-74 semantics); the leaf ply adds
-            # 1 + 0.5·expand into the enc array, interior plies add 1
-            leaf_value = jnp.where(terminal > 0, tval, -value)
-            dmax = jnp.max(depth)
-
-            def bk(c):
-                d, visit, val = c
-                nd = path_s[pl.ds(jnp.minimum(d, dcap - 1), 1), :]
-                nd = jnp.where(d == depth, leaf, nd)
-                am = (d <= depth).astype(jnp.float32)
-                sign = jnp.where((depth - d) % 2 == 0, 1.0, -1.0)
-                oh = (_iota(Nc, B) == nd).astype(jnp.float32) * am
-                inc = 1.0 + jnp.where((d == depth) & do_expand, 0.5, 0.0)
-                visit = visit + oh * inc
-                val = val + oh * (sign * leaf_value)
-                return d + 1, visit, val
-
-            # 2x unroll — loop control dominates; overrun plies mask to 0
-            bku = _env_knob("AZ_BK_UNROLL", 2, cfg.backup_unroll)
-
-            def nbk(c):
-                for _ in range(bku):
-                    c = bk(c)
-                return c
-
-            _, visit, val = jax.lax.while_loop(
-                lambda c: c[0] <= dmax, nbk, (0, visit, val))
-            visit_s[0:Nc, :] = visit
-            val_s[0:Nc, :] = val
-            if rc is not None:
-                _update_root_cache(A, B, rc[0], rc[1],
-                                   apath_s[pl.ds(0, 1), :], depth,
-                                   do_expand, leaf_value)
-                if len(rc_use) >= 5:
-                    _update_d1_cache(A, B, rc[3], rc[4],
-                                     apath_s[pl.ds(0, 1), :],
-                                     apath_s[pl.ds(1, 1), :], depth,
-                                     do_expand, leaf_value)
-                if len(rc_use) == 8:
-                    _update_d2_cache(A, B, rc[6], rc[7],
-                                     apath_s[pl.ds(0, 1), :],
-                                     apath_s[pl.ds(1, 1), :],
-                                     apath_s[pl.ds(2, 1), :], depth,
-                                     do_expand, leaf_value)
+            pend = _descend_leaf(env, cfg, model, dcap, W_ref, aux_ref,
+                                 get_board, rootp, rootmc, visit_s, val_s,
+                                 pc_s, path_s, apath_s, Nc, slot, rc=rc_use)
+            probs, value = _leaf_eval(env, model, wrefs, pend["obs"],
+                                      W_ref[:], cfg)
+            _apply_sim(env, cfg, dcap, visit_s, val_s, pc_s, path_s,
+                       apath_s, Nc, slot, pend, probs, value, rc=rc_use)
             return 0
 
         return sim
@@ -525,7 +404,7 @@ def _descend_leaf(env, cfg, model, dcap, W_ref, aux_ref, get_board, rootp,
         env, cfg, Nc, A, B, dcap, visit_s[0:Nc, :], val_s[0:Nc, :], None,
         pc_s[:, 0:Nc, :], None, path_s, apath_s,
         board=(p0_r, p1_r, h0, rootp),
-        root_cache=(None if rc is None else (rc[0][:], rc[1][:])),
+        root_cache=(None if rc is None else tuple(r[:] for r in rc)),
         root_pv=slot.astype(jnp.float32))
     root_case = (parent < 0).astype(jnp.float32)
     alloc = ((parent >= 0) & (chsel < 0)).astype(jnp.float32)
@@ -540,30 +419,80 @@ def _descend_leaf(env, cfg, model, dcap, W_ref, aux_ref, get_board, rootp,
                 a0=apath_s[pl.ds(0, 1), :])
 
 
-def _apply_sim(env, dcap, visit_s, val_s, pc_s, path_s,
-               Nc, slot, pend, probs, value, rc=None, cfg=None):
-    """Expansion + backup of a completed simulation (enc-coded visit,
-    packed prior+children edges)."""
+def _apply_sim(env, cfg, dcap, visit_s, val_s, pc_s, path_s, apath_s,
+               Nc, slot, pend, probs, value, rc=None):
+    """Expansion + mirror maintenance + backup of a completed simulation
+    (enc-coded visit, packed prior+children edges).
+
+    ``rc`` is the ACTIVE mirror tuple — ``(rcv, rcq[, pc1, rcv1, rcq1
+    [, pc2, rcv2, rcq2]])`` — and gates which peel levels are maintained.
+    With the full 8-tuple the backup runs DEAD-ROW SKIPPED: tree rows of
+    depth-1..3 nodes are write-only (every read goes through the peeled
+    steps' mirrors, and body steps at d >= 3 gather only depth-4+
+    children), so plies 1..3 drop — their effect lives entirely in the
+    ``_update_*_cache`` calls — and ply 0 (always row 0: path[0] is the
+    root and a depth-0 walk's leaf IS the root, _leaf_finish) applies as
+    a single-row ref update that _root_counts still reads."""
     A = env.action_dim
     B = visit_s.shape[1]
     alloc, depth, leaf = pend["alloc"], pend["depth"], pend["leaf"]
     terminal, tval = pend["terminal"], pend["tval"]
+    parent, action = pend["parent"], pend["action"]
     do_expand = (alloc > 0) & (terminal == 0)
     # expansion: new node's edge row = 1 (no child) + quantized prior;
     # illegal actions = 0
-    pc_s[:, pl.ds(slot, 1), :] = jnp.where(
-        do_expand & (pend["valid"] > 0), 1.0 + _qfrac(probs),
-        0.0)[:, None, :]
-    # parent edge now points at the slot: integer part becomes slot+2,
-    # the quantized prior fraction is preserved
-    ohp = (_iota(Nc, B) == jnp.where(alloc > 0, pend["parent"], Nc)) \
+    new_row = jnp.where(do_expand & (pend["valid"] > 0),
+                        1.0 + _qfrac(probs), 0.0)             # (A, B)
+    pc_s[:, pl.ds(slot, 1), :] = new_row[:, None, :]
+    ohp = (_iota(Nc, B) == jnp.where(alloc > 0, parent, Nc)) \
         .astype(jnp.float32)
-    oha = (_iota(A, B) == pend["action"]).astype(jnp.float32)
+    oha = (_iota(A, B) == action).astype(jnp.float32)
     edge = ohp[None] * oha[:, None, :]
-    # exact += (slot+1): see _run_move_sims' edge update
+    # allocation edges hold exactly 1 + frac (chsel < 0 <=> integer part
+    # 1), so += edge*(slot+1) produces (slot+2) + frac BITWISE (both
+    # addends multiples of 2^-15 < 512; frac preserved) — one FMA pass
+    # instead of floor/sub/select
     pc_s[:, 0:Nc, :] = (pc_s[:, 0:Nc, :]
                         + edge * (slot.astype(jnp.float32) + 1.0))
 
+    if rc is not None and len(rc) >= 5:
+        # ---- d1 mirror maintenance (pc1 edge rows of depth-1 nodes
+        # keyed by root action a0; see _update_d1_cache)
+        pc1 = rc[2]
+        a0 = apath_s[pl.ds(0, 1), :]                          # (1, B)
+        a0_oh = (_iota(A, B) == a0).astype(jnp.float32)
+        # expansion AT depth 1: the new node IS a root child — copy its
+        # whole edge row into pc1[:, a0]
+        d1x = (do_expand & (depth == 1)).astype(jnp.float32)
+        m_row = a0_oh[None] * d1x[None]                       # (1, A, B)
+        pc1_w = jnp.where(m_row > 0, new_row[:, None, :], pc1[:])
+        # allocation at depth 2: the parent (a depth-1 node) edge
+        # (a1 = action) now points at the slot — same exact += (slot+1)
+        d2a = ((alloc > 0) & (depth == 2)).astype(jnp.float32)
+        m_edge = oha[:, None, :] * a0_oh[None] * d2a[None]
+        pc1[:] = pc1_w + m_edge * (slot.astype(jnp.float32) + 1.0)
+
+    if rc is not None and len(rc) == 8:
+        # ---- d2 mirror maintenance (pc2 edge rows of depth-2 nodes
+        # keyed k = a1*A + a0; see _update_d2_cache)
+        pc2 = rc[5]
+        a1p = apath_s[pl.ds(1, 1), :]                         # (1, B)
+        # expansion AT depth 2: the new node IS a depth-2 node (reached
+        # by edge a1 = action from root child a0) — copy its edge row
+        # into pc2[:, action*A + a0]
+        d2x = (do_expand & (depth == 2))
+        ohx = (_iota(A * A, B) == (action * A + a0)) & d2x
+        m_row2 = ohx.astype(jnp.float32)                      # (A^2, B)
+        pc2_w = jnp.where(m_row2[None] > 0, new_row[:, None, :], pc2[:])
+        # allocation at depth 3: the parent (a depth-2 node keyed
+        # k = apath[1]*A + a0) edge a2 = action now points at the slot
+        d3a = ((alloc > 0) & (depth == 3))
+        ohp2 = (_iota(A * A, B) == (a1p * A + a0)) & d3a
+        m_edge2 = oha[:, None, :] * ohp2.astype(jnp.float32)[None]
+        pc2[:] = pc2_w + m_edge2 * (slot.astype(jnp.float32) + 1.0)
+
+    # ---- backup (ai/node.py:62-74 semantics); the leaf ply adds
+    # 1 + 0.5*expand into the enc array, interior plies add 1
     leaf_value = jnp.where(terminal > 0, tval, -value)
     dmax = jnp.max(depth)
 
@@ -577,8 +506,7 @@ def _apply_sim(env, dcap, visit_s, val_s, pc_s, path_s,
         inc = 1.0 + jnp.where((d == depth) & do_expand, 0.5, 0.0)
         return d + 1, visit + oh * inc, val + oh * (sign * leaf_value)
 
-    # same AZ_BK_UNROLL knob as _run_move_sims' backup so the tuner
-    # measures both backup paths consistently (overrun plies mask to 0)
+    # 2x unroll — loop control dominates; overrun plies mask to 0
     bku = _env_knob("AZ_BK_UNROLL", 2, cfg.backup_unroll if cfg else None)
 
     def nbk(c):
@@ -586,14 +514,34 @@ def _apply_sim(env, dcap, visit_s, val_s, pc_s, path_s,
             c = bk(c)
         return c
 
+    d_start = 4 if (rc is not None and len(rc) == 8) else 0
     _, visit, val = jax.lax.while_loop(
         lambda c: c[0] <= dmax, nbk,
-        (0, visit_s[0:Nc, :], val_s[0:Nc, :]))
+        (d_start, visit_s[0:Nc, :], val_s[0:Nc, :]))
     visit_s[0:Nc, :] = visit
     val_s[0:Nc, :] = val
+    if d_start == 4:
+        # ply 0 through the ref as a static row-1 slice (Mosaic lowers
+        # neither scatter-add nor value-level dynamic_update_slice);
+        # path rows are disjoint, so ordering after the write-back is
+        # bitwise-identical
+        sign0 = jnp.where(depth % 2 == 0, 1.0, -1.0)
+        visit_s[0:1, :] = visit_s[0:1, :] + 1.0
+        val_s[0:1, :] = val_s[0:1, :] + sign0 * leaf_value
     if rc is not None:
-        _update_root_cache(A, B, rc[0], rc[1], pend["a0"], depth,
-                           do_expand, leaf_value)
+        _update_root_cache(A, B, rc[0], rc[1], apath_s[pl.ds(0, 1), :],
+                           depth, do_expand, leaf_value)
+        if len(rc) >= 5:
+            _update_d1_cache(A, B, rc[3], rc[4],
+                             apath_s[pl.ds(0, 1), :],
+                             apath_s[pl.ds(1, 1), :], depth,
+                             do_expand, leaf_value)
+        if len(rc) == 8:
+            _update_d2_cache(A, B, rc[6], rc[7],
+                             apath_s[pl.ds(0, 1), :],
+                             apath_s[pl.ds(1, 1), :],
+                             apath_s[pl.ds(2, 1), :], depth,
+                             do_expand, leaf_value)
 
 
 def _run_move_sims_2x(env, cfg: MCTSConfig, model, dcap: int, wrefs,
@@ -608,8 +556,10 @@ def _run_move_sims_2x(env, cfg: MCTSConfig, model, dcap: int, wrefs,
     _run_move_sims on each half's lanes.
 
     ``halves``: two 9-tuples (get_board, rootp, rootmc, visit_s, val_s,
-    pc_s, path_s, apath_s, (rcv, rcq)), one per half-batch — enc-coded
-    visit, packed prior+children edges, and the root-child stat mirror.
+    pc_s, path_s, apath_s, rc), one per half-batch — enc-coded visit,
+    packed prior+children edges, and the half's mirror tuple (same
+    2/5/8-length convention as _run_move_sims — with the full set each
+    half gets the d0/d1/d2 peels and the dead-row backup).
     """
     S = cfg.num_simulations
     N = halves[0][3].shape[0]
@@ -622,9 +572,9 @@ def _run_move_sims_2x(env, cfg: MCTSConfig, model, dcap: int, wrefs,
                              pc_s, path_s, apath_s, Nc, slot, rc=rc)
 
     def ap(h, Nc, slot, pend, probs, value):
-        (_, _, _, visit_s, val_s, pc_s, path_s, _, rc) = halves[h]
-        _apply_sim(env, dcap, visit_s, val_s, pc_s, path_s,
-                   Nc, slot, pend, probs, value, rc=rc, cfg=cfg)
+        (_, _, _, visit_s, val_s, pc_s, path_s, apath_s, rc) = halves[h]
+        _apply_sim(env, cfg, dcap, visit_s, val_s, pc_s, path_s, apath_s,
+                   Nc, slot, pend, probs, value, rc=rc)
 
     def fwd(obs):
         return _leaf_eval(env, model, wrefs, obs, W_ref[:], cfg)
@@ -842,7 +792,13 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
     if pipelined:
         (visit0, visit1, val0, val1, pc0, pc1,
          path0, path1, apath0, apath1,
-         rcv0, rcv1, rcq0, rcq1) = scratch
+         rcv0, rcv1, rcq0, rcq1) = scratch[:14]
+        d2p = len(scratch) == 26
+        if d2p:
+            (pm1_0, pm1_1, rv1_0, rv1_1, rq1_0, rq1_1,
+             pm2_0, pm2_1, rv2_0, rv2_1, rq2_0, rq2_1) = scratch[14:]
+        else:
+            (pm1_0, pm1_1, rv1_0, rv1_1, rq1_0, rq1_1) = scratch[14:]
     else:
         (visit_s, val_s, pc_s, path_s, apath_s, rcv_s, rcq_s,
          pc1_s, rcv1_s, rcq1_s) = scratch[:10]
@@ -906,7 +862,14 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
         # visit is enc-coded: root = 1 visit + 0.5 expanded.
         root_pc = jnp.where(valid > 0, 1.0 + _qfrac(probs0), 0.0)
         if pipelined:
+            import os as _os
             halves = []
+            hmirrors = [
+                (pm1_0, rv1_0, rq1_0) + ((pm2_0, rv2_0, rq2_0) if d2p
+                                         else ()),
+                (pm1_1, rv1_1, rq1_1) + ((pm2_1, rv2_1, rq2_1) if d2p
+                                         else ()),
+            ]
             for h, (v_s, l_s, p_s, pa_s, ap_s, rv_s, rq_s) in enumerate(
                     [(visit0, val0, pc0, path0, apath0, rcv0, rcq0),
                      (visit1, val1, pc1, path1, apath1, rcv1, rcq1)]):
@@ -919,10 +882,17 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
                 p_s[:, 0, :] = root_pc[:, sl]
                 rv_s[:] = jnp.zeros((A, H), jnp.float32)
                 rq_s[:] = jnp.zeros((A, H), jnp.float32)
+                for mref in hmirrors[h]:
+                    mref[:] = jnp.zeros(mref.shape, jnp.float32)
+                rc_h = (rv_s, rq_s) + hmirrors[h]
+                if _os.environ.get("AZ_NO_D1"):
+                    rc_h = rc_h[:2]
+                elif _os.environ.get("AZ_NO_D2"):
+                    rc_h = rc_h[:5]
                 halves.append((
                     (lambda s=sl: (p0[:, s], p1[:, s])),
                     player[:, sl], mc[:, sl],
-                    v_s, l_s, p_s, pa_s, ap_s, (rv_s, rq_s)))
+                    v_s, l_s, p_s, pa_s, ap_s, rc_h))
             _run_move_sims_2x(env, cfg, model, dcap, wrefs, W_ref,
                               aux_ref, halves)
             c0, q0 = _root_counts(env, visit0, pc0, val0, rcv=rcv0)
@@ -1043,14 +1013,20 @@ def run_selfplay_chunk_fused(env, model, params, boards, players,
     ORCp = _pad8_local(F * RC)
 
     rng_n, rng_u = jax.random.split(rng)
-    noise = jax.random.dirichlet(
-        rng_n, jnp.full((A,), cfg.dirichlet_alpha, jnp.float32),
-        shape=(M, B)).astype(jnp.float32)                  # (M, B, A)
-    noise_t = jnp.zeros((M, Ap, B), jnp.float32) \
-        .at[:, :A, :].set(noise.transpose(0, 2, 1)).reshape(M * Ap, B)
-    unif = jax.random.uniform(rng_u, (M, 1, B), jnp.float32)
-    unif_t = jnp.zeros((M, 8, B), jnp.float32) \
-        .at[:, :1, :].set(unif).reshape(M * 8, B)
+    # Dirichlet directly in kernel layout: iid Gamma(α) over the ACTION
+    # axis normalized per (move, game) — the same construction
+    # jax.random.dirichlet uses, drawn straight into (M, A, B) so no
+    # lane↔sublane transpose or pad-scatter is needed (distribution
+    # identical; draw values differ from the dirichlet() axis order)
+    g = jax.random.gamma(rng_n, jnp.float32(cfg.dirichlet_alpha),
+                         shape=(M, A, B))
+    noise = g / jnp.sum(g, axis=1, keepdims=True)
+    noise_t = jnp.concatenate(
+        [noise, jnp.zeros((M, Ap - A, B), jnp.float32)],
+        axis=1).reshape(M * Ap, B) if Ap > A else noise.reshape(M * Ap, B)
+    # the kernel reads only row m·8 of each 8-row block; surplus rows are
+    # cheaper to draw than to pad-scatter
+    unif_t = jax.random.uniform(rng_u, (M * 8, B), jnp.float32)
 
     tables = _game_tables(env)
     W = jnp.asarray(tables["W"])
@@ -1064,7 +1040,12 @@ def run_selfplay_chunk_fused(env, model, params, boards, players,
 
     # MXU/VPU pipelining over two half-batches needs 128-lane halves
     if pipelined is None:
-        pipelined = False   # tree-level half pipelining measured ~0 gain;
+        import os as _os
+        pipelined = bool(_os.environ.get("AZ_PIPE"))
+        # round-4 default False: tree-level half pipelining measured ~0
+        # gain THEN (forward ≈ search); round 5's mirrors/dead-row work
+        # cut exposed forward to ~1.1 of 5.9 ms/move, so AZ_PIPE=1
+        # re-measures the overlap at the new balance point
         # the forward-level stage interleave (_dense_forward_2x) captures
         # the MXU/VPU overlap without per-half trees
     H = B // 2
@@ -1084,6 +1065,19 @@ def run_selfplay_chunk_fused(env, model, params, boards, players,
             scratch += [pltpu.VMEM((A, H), jnp.float32)]   # root cvisit
         for _ in range(2):
             scratch += [pltpu.VMEM((A, H), jnp.float32)]   # root cval
+        for _ in range(2):
+            scratch += [pltpu.VMEM((A, A, H), jnp.float32)]  # d1 edges
+        for _ in range(2):
+            scratch += [pltpu.VMEM((A, A, H), jnp.float32)]  # d1 cvisit
+        for _ in range(2):
+            scratch += [pltpu.VMEM((A, A, H), jnp.float32)]  # d1 cval
+        if _use_d2(env):
+            for _ in range(2):
+                scratch += [pltpu.VMEM((A, A * A, H), jnp.float32)]
+            for _ in range(2):
+                scratch += [pltpu.VMEM((A, A * A, H), jnp.float32)]
+            for _ in range(2):
+                scratch += [pltpu.VMEM((A, A * A, H), jnp.float32)]
     else:
         scratch = [
             pltpu.VMEM((N, B), jnp.float32),             # visit (enc)

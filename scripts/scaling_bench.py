@@ -7,7 +7,19 @@ N virtual CPU devices (game batch and learner batch sharded over 'data'),
 which exercises the identical program/collective structure the TPU pod
 slice runs (per-chip throughput is then measured by bench.py).
 
+IMPORTANT CAVEAT (VERDICT r4 #6): this host has TWO physical CPU cores.
+N virtual devices time-share them, so measured "efficiency" at N ≥ 4 is
+dominated by host-core contention, not by the SPMD program — the numbers
+validate program structure (no pathological collective/data-movement
+scaling), they do NOT predict pod-slice efficiency.  docs/DESIGN.md
+"Parallelism" records the attribution.
+
 Run: python -m scripts.scaling_bench [n_devices ...]
+     python -m scripts.scaling_bench --production [n_devices ...]
+
+``--production`` drives the REAL CLI path — SpmdTrainer.collect (the
+pipelined host fetch loop) + SpmdTrainer.train_epoch — instead of the raw
+super-step, so host-side per-chunk sync costs are included.
 """
 
 import json
@@ -81,6 +93,65 @@ def main(device_counts=(1, 2, 4, 8)):
     print(json.dumps(out))
 
 
+def main_production(device_counts=(1, 2, 4, 8)):
+    """Weak scaling through the production path: SpmdTrainer's jitted
+    collect chunks (driven by Trainer.collect's pipelined fetch loop) and
+    warm-up-gated train chunks — exactly what `train --mesh data=N` runs."""
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               f" --xla_force_host_platform_device_count="
+                               f"{max(device_counts)}").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from alphazero_tpu.config import (Config, MCTSConfig, ModelConfig,
+                                      ReplayConfig, TrainConfig)
+    from alphazero_tpu.parallel.mesh import make_mesh
+    from alphazero_tpu.training.spmd_loop import SpmdTrainer
+
+    per_dev_games = 16
+    results = {}
+    for n in device_counts:
+        cfg = Config(
+            env="connect4",
+            mcts=MCTSConfig(num_simulations=24, temperature_moves=2),
+            model=ModelConfig(family="resnet", channels=16, blocks=2,
+                              compute_dtype="float32"),
+            replay=ReplayConfig(capacity=336 * n),
+            train=TrainConfig(batch_size=32 * n,
+                              selfplay_batch=per_dev_games * n,
+                              train_steps_per_iter=8, gate_enabled=False,
+                              selfplay_chunk_steps=4),
+        )
+        mesh = make_mesh(n_data=n, n_model=1, devices=jax.devices()[:n])
+        tr = SpmdTrainer(cfg, mesh=mesh)
+        # warmup: one collect chunk + one train epoch (compiles both)
+        tr.collect(1)
+        tr.train_epoch()
+        t0 = time.perf_counter()
+        m = tr.collect(2 * per_dev_games * n)
+        tm = tr.train_epoch()
+        dt = time.perf_counter() - t0
+        steps = m["env_steps"]
+        results[n] = steps / dt
+        print(f"devices={n}: env_steps={steps} collect+train {dt:.2f}s "
+              f"-> {results[n]:.0f} env_steps/s", file=sys.stderr)
+
+    base = results[device_counts[0]]
+    print(json.dumps({
+        "metric": "dp_weak_scaling_efficiency_production",
+        "throughput": {str(k): round(v, 1) for k, v in results.items()},
+        "efficiency": {
+            str(k): round(results[k] / (base * k / device_counts[0]), 3)
+            for k in device_counts
+        },
+        "note": "2 physical host cores; N>=4 virtual devices time-share "
+                "them (see docs/DESIGN.md Parallelism)",
+    }))
+
+
 if __name__ == "__main__":
-    counts = tuple(int(a) for a in sys.argv[1:]) or (1, 2, 4, 8)
-    main(counts)
+    args = sys.argv[1:]
+    production = "--production" in args
+    args = [a for a in args if a != "--production"]
+    counts = tuple(int(a) for a in args) or (1, 2, 4, 8)
+    (main_production if production else main)(counts)
