@@ -196,7 +196,12 @@ def preset(name: str) -> Config:
         # (search/pallas_fused.py).
         "connect4": Config(
             env="connect4",
-            mcts=MCTSConfig(num_simulations=200, dirichlet_alpha=0.3),
+            # nseg=8: carried-state sweep (round 5) — finer sim-loop
+            # segmentation beats the auto default 4 once the d2 peel +
+            # dead-row backup land (5.88 → 5.67 ms/move; with the
+            # pipelined halves 5.48 = 93.4k env-steps/s)
+            mcts=MCTSConfig(num_simulations=200, dirichlet_alpha=0.3,
+                            nseg=8),
             model=ModelConfig(family="dense", width=512, blocks=2),
             train=TrainConfig(batch_size=512, selfplay_batch=512,
                               games_per_iter=512),

@@ -580,7 +580,8 @@ def _run_move_sims_2x(env, cfg: MCTSConfig, model, dcap: int, wrefs,
         return _leaf_eval(env, model, wrefs, obs, W_ref[:], cfg)
 
     # ---- prologue: slot 1 descends; half0's forward issues first
-    n_seg = 4 if S >= 128 else (2 if S >= 64 else 1)
+    n_seg = _env_knob("AZ_NSEG", 4 if S >= 128 else (2 if S >= 64 else 1),
+                      cfg.nseg)
     hi1 = -(-S) // n_seg
     Nc0 = min(N, -(-hi1 // 8) * 8)
     pend0 = dl(0, Nc0, jnp.int32(1))
@@ -1041,11 +1042,19 @@ def run_selfplay_chunk_fused(env, model, params, boards, players,
     # MXU/VPU pipelining over two half-batches needs 128-lane halves
     if pipelined is None:
         import os as _os
-        pipelined = bool(_os.environ.get("AZ_PIPE"))
-        # round-4 default False: tree-level half pipelining measured ~0
-        # gain THEN (forward ≈ search); round 5's mirrors/dead-row work
-        # cut exposed forward to ~1.1 of 5.9 ms/move, so AZ_PIPE=1
-        # re-measures the overlap at the new balance point
+        if _os.environ.get("AZ_NO_PIPE"):
+            pipelined = False
+        elif _os.environ.get("AZ_PIPE"):
+            pipelined = True
+        else:
+            # DEFAULT ON for two ≥128-lane halves (round 5): with the
+            # d0/d1/d2 peels + dead-row backup the exposed forward is
+            # ~1.1 of ~5.9 ms/move, and hiding it under the other half's
+            # VPU work measured 5.88 → 5.67 ms/move (with nseg=8: 5.48 =
+            # 93.4k env-steps/s, carried state).  Round 4 measured ~0
+            # gain at its forward≈search balance — the mirrors changed
+            # the answer.  AZ_PIPE/AZ_NO_PIPE force either way.
+            pipelined = B % 256 == 0
         # the forward-level stage interleave (_dense_forward_2x) captures
         # the MXU/VPU overlap without per-half trees
     H = B // 2
