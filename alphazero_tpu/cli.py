@@ -67,6 +67,18 @@ def _apply_overrides(cfg, args):
         cfg = dataclasses.replace(
             cfg, mcts=dataclasses.replace(cfg.mcts,
                                           num_simulations=args.sims))
+    # model-shape overrides (reference train-only mode retypes the net
+    # hyperparameters, main.py:221-230 — mode-4 parity without editing
+    # presets)
+    m_over = {}
+    for field in ("family", "width", "blocks", "channels", "embed_dim",
+                  "depth", "patch_size"):
+        v = getattr(args, f"model_{field}", None)
+        if v is not None:
+            m_over[field] = v
+    if m_over:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, **m_over))
     if args.capacity:
         cfg = dataclasses.replace(
             cfg, replay=dataclasses.replace(cfg.replay,
@@ -278,6 +290,22 @@ def main(argv=None):
                    help="override the preset's Adam learning rate "
                         "(reference train-only mode uses 1e-3, "
                         "main.py:230, vs 2.5e-4 for the full loop)")
+    t.add_argument("--model-family", dest="model_family", default=None,
+                   choices=["vit", "resnet", "dense"],
+                   help="override the preset's net family (reference "
+                        "mode 4 retypes the net, main.py:221-230)")
+    t.add_argument("--model-width", dest="model_width", type=int,
+                   default=None, help="dense-family width override")
+    t.add_argument("--model-blocks", dest="model_blocks", type=int,
+                   default=None, help="dense/resnet blocks override")
+    t.add_argument("--model-channels", dest="model_channels", type=int,
+                   default=None, help="resnet channels override")
+    t.add_argument("--model-embed-dim", dest="model_embed_dim", type=int,
+                   default=None, help="vit embed dim override")
+    t.add_argument("--model-depth", dest="model_depth", type=int,
+                   default=None, help="vit depth override")
+    t.add_argument("--model-patch-size", dest="model_patch_size", type=int,
+                   default=None, help="vit patch size override")
     t.add_argument("--sims", type=int, default=None,
                    help="override the preset's MCTS simulations per move")
     t.add_argument("--capacity", type=int, default=None,

@@ -113,3 +113,21 @@ def test_trainer_persist_config_write_if_absent(tmp_path):
     os.makedirs(wd2)
     Trainer(cfg, workdir=wd2, persist_config=False)
     assert not os.path.exists(f"{wd2}/config.json")
+
+
+def test_cli_model_shape_overrides():
+    from alphazero_tpu.cli import _apply_overrides
+    from alphazero_tpu.config import preset
+
+    args = argparse.Namespace(
+        games_per_iter=None, selfplay_batch=None, batch_size=None,
+        gate_games=None, no_gate=False, sims=None, capacity=None, lr=1e-3,
+        model_family="vit", model_embed_dim=256, model_depth=2,
+        model_patch_size=3, model_width=None, model_blocks=None,
+        model_channels=None)
+    cfg = _apply_overrides(preset("connect4"), args)
+    assert cfg.model.family == "vit"
+    assert cfg.model.embed_dim == 256
+    assert cfg.model.depth == 2
+    assert cfg.model.patch_size == 3
+    assert cfg.model.width == 512          # untouched fields keep preset
