@@ -64,11 +64,9 @@ def supports_fused(env, batch: int, cfg: MCTSConfig, model) -> bool:
     N = cfg.num_simulations + 1
     A = env.action_dim
     tree_bytes = (2 + A) * N * batch * 4   # visit+val + packed edges
-    # d=1 peel mirrors: three (A, A, B) f32 scratch buffers (packed edges,
-    # enc visit/value of depth-2 children) — negligible at connect4's A=7
-    # but real for larger-action dense envs
-    tree_bytes += 3 * A * A * batch * 4
-    if A <= 16:  # d=2 peel mirrors (three (A, A, A, B) buffers, _use_d2)
+    if A <= 32:  # d=1 peel mirrors: three (A, A, B) buffers (_use_d1)
+        tree_bytes += 3 * A * A * batch * 4
+    if A <= 16:  # d=2 peel mirrors: three (A, A², B) buffers (_use_d2)
         tree_bytes += 3 * A * A * A * batch * 4
     weight_bytes = 2 * (model.width * model.width * 2 * model.blocks
                         + model.width * 600)
@@ -122,8 +120,16 @@ def _pack_dense_params(model, params):
     return ws
 
 
+def _use_d1(env) -> bool:
+    """Whether the d=1 peel's three (A, A, B) mirrors fit the VMEM plan:
+    at gomoku9's A=81 they cost 3·A²·B·4 ≈ 20 MB and push the A=81 chunk
+    kernel ~0.7 MB past the 100 MB scoped budget (measured), so large-A
+    dense envs run with the d=0 peel only."""
+    return env.action_dim <= 32
+
+
 def _use_d2(env) -> bool:
-    """Whether the d=2 peel's (A, A, A, B) mirrors are worth their VMEM
+    """Whether the d=2 peel's (A, A², B) mirrors are worth their VMEM
     and maintenance: the A³ keyspace must stay small (connect4 A=7,
     tictactoe A=9 — the dense-family envs)."""
     return env.action_dim <= 16
@@ -653,9 +659,11 @@ def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
     wrefs = refs[8:8 + n_w]
     counts_ref, rootq_ref = refs[8 + n_w:10 + n_w]
     scratch = refs[10 + n_w:]
-    (visit_s, val_s, pc_s, path_s, apath_s, rcv_s, rcq_s,
-     pc1_s, rcv1_s, rcq1_s) = scratch[:10]
+    (visit_s, val_s, pc_s, path_s, apath_s, rcv_s, rcq_s) = scratch[:7]
+    d1 = len(scratch) >= 10
     d2 = len(scratch) == 13
+    if d1:
+        pc1_s, rcv1_s, rcq1_s = scratch[7:10]
     if d2:
         pc2_s, rcv2_s, rcq2_s = scratch[10:]
 
@@ -679,10 +687,12 @@ def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
     pc_s[:, 0, :] = jnp.where(rp > -1e29, 1.0 + _qfrac(rp), 0.0)
     rcv_s[:] = jnp.zeros((A, B), jnp.float32)
     rcq_s[:] = jnp.zeros((A, B), jnp.float32)
-    pc1_s[:] = jnp.zeros((A, A, B), jnp.float32)
-    rcv1_s[:] = jnp.zeros((A, A, B), jnp.float32)
-    rcq1_s[:] = jnp.zeros((A, A, B), jnp.float32)
-    rc = (rcv_s, rcq_s, pc1_s, rcv1_s, rcq1_s)
+    rc = (rcv_s, rcq_s)
+    if d1:
+        pc1_s[:] = jnp.zeros((A, A, B), jnp.float32)
+        rcv1_s[:] = jnp.zeros((A, A, B), jnp.float32)
+        rcq1_s[:] = jnp.zeros((A, A, B), jnp.float32)
+        rc = rc + (pc1_s, rcv1_s, rcq1_s)
     if d2:
         pc2_s[:] = jnp.zeros((A, A * A, B), jnp.float32)
         rcv2_s[:] = jnp.zeros((A, A * A, B), jnp.float32)
@@ -794,16 +804,18 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
         (visit0, visit1, val0, val1, pc0, pc1,
          path0, path1, apath0, apath1,
          rcv0, rcv1, rcq0, rcq1) = scratch[:14]
+        d1p = len(scratch) >= 20
         d2p = len(scratch) == 26
+        if d1p:
+            (pm1_0, pm1_1, rv1_0, rv1_1, rq1_0, rq1_1) = scratch[14:20]
         if d2p:
-            (pm1_0, pm1_1, rv1_0, rv1_1, rq1_0, rq1_1,
-             pm2_0, pm2_1, rv2_0, rv2_1, rq2_0, rq2_1) = scratch[14:]
-        else:
-            (pm1_0, pm1_1, rv1_0, rv1_1, rq1_0, rq1_1) = scratch[14:]
+            (pm2_0, pm2_1, rv2_0, rv2_1, rq2_0, rq2_1) = scratch[20:]
     else:
-        (visit_s, val_s, pc_s, path_s, apath_s, rcv_s, rcq_s,
-         pc1_s, rcv1_s, rcq1_s) = scratch[:10]
+        (visit_s, val_s, pc_s, path_s, apath_s, rcv_s, rcq_s) = scratch[:7]
+        d1 = len(scratch) >= 10
         d2 = len(scratch) == 13
+        if d1:
+            pc1_s, rcv1_s, rcq1_s = scratch[7:10]
         if d2:
             pc2_s, rcv2_s, rcq2_s = scratch[10:]
 
@@ -865,12 +877,12 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
         if pipelined:
             import os as _os
             halves = []
-            hmirrors = [
-                (pm1_0, rv1_0, rq1_0) + ((pm2_0, rv2_0, rq2_0) if d2p
-                                         else ()),
-                (pm1_1, rv1_1, rq1_1) + ((pm2_1, rv2_1, rq2_1) if d2p
-                                         else ()),
-            ]
+            hmirrors = [(), ()]
+            if d1p:
+                hmirrors = [(pm1_0, rv1_0, rq1_0), (pm1_1, rv1_1, rq1_1)]
+            if d2p:
+                hmirrors = [hmirrors[0] + (pm2_0, rv2_0, rq2_0),
+                            hmirrors[1] + (pm2_1, rv2_1, rq2_1)]
             for h, (v_s, l_s, p_s, pa_s, ap_s, rv_s, rq_s) in enumerate(
                     [(visit0, val0, pc0, path0, apath0, rcv0, rcq0),
                      (visit1, val1, pc1, path1, apath1, rcv1, rcq1)]):
@@ -909,10 +921,12 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
             pc_s[:, 0, :] = root_pc
             rcv_s[:] = jnp.zeros((A, B), jnp.float32)
             rcq_s[:] = jnp.zeros((A, B), jnp.float32)
-            pc1_s[:] = jnp.zeros((A, A, B), jnp.float32)
-            rcv1_s[:] = jnp.zeros((A, A, B), jnp.float32)
-            rcq1_s[:] = jnp.zeros((A, A, B), jnp.float32)
-            rc = (rcv_s, rcq_s, pc1_s, rcv1_s, rcq1_s)
+            rc = (rcv_s, rcq_s)
+            if d1:
+                pc1_s[:] = jnp.zeros((A, A, B), jnp.float32)
+                rcv1_s[:] = jnp.zeros((A, A, B), jnp.float32)
+                rcq1_s[:] = jnp.zeros((A, A, B), jnp.float32)
+                rc = rc + (pc1_s, rcv1_s, rcq1_s)
             if d2:
                 pc2_s[:] = jnp.zeros((A, A * A, B), jnp.float32)
                 rcv2_s[:] = jnp.zeros((A, A * A, B), jnp.float32)
@@ -1074,12 +1088,13 @@ def run_selfplay_chunk_fused(env, model, params, boards, players,
             scratch += [pltpu.VMEM((A, H), jnp.float32)]   # root cvisit
         for _ in range(2):
             scratch += [pltpu.VMEM((A, H), jnp.float32)]   # root cval
-        for _ in range(2):
-            scratch += [pltpu.VMEM((A, A, H), jnp.float32)]  # d1 edges
-        for _ in range(2):
-            scratch += [pltpu.VMEM((A, A, H), jnp.float32)]  # d1 cvisit
-        for _ in range(2):
-            scratch += [pltpu.VMEM((A, A, H), jnp.float32)]  # d1 cval
+        if _use_d1(env):
+            for _ in range(2):
+                scratch += [pltpu.VMEM((A, A, H), jnp.float32)]  # d1 edge
+            for _ in range(2):
+                scratch += [pltpu.VMEM((A, A, H), jnp.float32)]  # d1 cvis
+            for _ in range(2):
+                scratch += [pltpu.VMEM((A, A, H), jnp.float32)]  # d1 cval
         if _use_d2(env):
             for _ in range(2):
                 scratch += [pltpu.VMEM((A, A * A, H), jnp.float32)]
@@ -1096,10 +1111,13 @@ def run_selfplay_chunk_fused(env, model, params, boards, players,
             pltpu.VMEM((dcap, B), jnp.int32),            # apath
             pltpu.VMEM((A, B), jnp.float32),             # root cvisit
             pltpu.VMEM((A, B), jnp.float32),             # root cval
-            pltpu.VMEM((A, A, B), jnp.float32),          # d1 edge rows
-            pltpu.VMEM((A, A, B), jnp.float32),          # d1 cvisit (enc)
-            pltpu.VMEM((A, A, B), jnp.float32),          # d1 cval
         ]
+        if _use_d1(env):
+            scratch += [
+                pltpu.VMEM((A, A, B), jnp.float32),      # d1 edge rows
+                pltpu.VMEM((A, A, B), jnp.float32),      # d1 cvisit (enc)
+                pltpu.VMEM((A, A, B), jnp.float32),      # d1 cval
+            ]
         if _use_d2(env):
             scratch += [
                 pltpu.VMEM((A, A * A, B), jnp.float32),  # d2 edge rows
@@ -1219,10 +1237,11 @@ def run_mcts_fused(env, model, params, eval_fn, boards, players,
             pltpu.VMEM((dcap, B), jnp.int32),            # apath
             pltpu.VMEM((A, B), jnp.float32),             # root cvisit
             pltpu.VMEM((A, B), jnp.float32),             # root cval
+        ] + ([
             pltpu.VMEM((A, A, B), jnp.float32),          # d1 edge rows
             pltpu.VMEM((A, A, B), jnp.float32),          # d1 cvisit (enc)
             pltpu.VMEM((A, A, B), jnp.float32),          # d1 cval
-        ] + ([
+        ] if _use_d1(env) else []) + ([
             pltpu.VMEM((A, A * A, B), jnp.float32),      # d2 edge rows
             pltpu.VMEM((A, A * A, B), jnp.float32),      # d2 cvisit (enc)
             pltpu.VMEM((A, A * A, B), jnp.float32),      # d2 cval

@@ -397,3 +397,55 @@ def test_chunk_runner_matches_stepwise_bookkeeping():
         if t[b] > 0:
             s = pol[b, :t[b]].sum(-1)
             np.testing.assert_allclose(s, 1.0, atol=1e-5)
+
+
+def test_chunk_kernel_d0_only_mirrors_bitwise(monkeypatch):
+    """Large-action dense envs (gomoku9-dense, A=81) drop the d1/d2
+    mirrors to fit scoped VMEM (_use_d1/_use_d2 gates) and run with the
+    d=0 peel only.  Simulate that configuration on connect4 and pin the
+    whole-chunk trajectory bitwise against the XLA engine."""
+    import alphazero_tpu.search.pallas_fused as F
+
+    env = make_env("connect4")
+    model = build_model(ModelConfig(family="dense", width=64, blocks=1), env)
+    params = init_params(model, env, jax.random.PRNGKey(0))
+    kernel_stub, xla_eval = _exact_stub_forwards(env)
+    monkeypatch.setattr(F, "_leaf_eval", kernel_stub)
+    monkeypatch.setattr(F, "_use_d1", lambda env_: False)
+    monkeypatch.setattr(F, "_use_d2", lambda env_: False)
+
+    cfg = MCTSConfig(num_simulations=24, temperature_moves=0,
+                     use_dirichlet=False)
+    B, M = 4, 6
+    boards = jnp.zeros((B, 2, env.rows, env.cols), jnp.int8)
+    players = jnp.zeros((B,), jnp.int32)
+    mcs = jnp.zeros((B,), jnp.int32)
+    rec = F.run_selfplay_chunk_fused(
+        env, model, params, boards, players, mcs, jax.random.PRNGKey(7),
+        cfg, M, interpret=True, pipelined=False)
+    rec = jax.tree.map(np.asarray, rec)
+
+    cur_b, cur_p, cur_mc = boards, players, mcs
+    from alphazero_tpu.envs.core import EnvState
+    for m in range(M):
+        res = run_mcts(env, xla_eval, cur_b, cur_p, cur_mc,
+                       jnp.zeros(B, bool), jax.random.PRNGKey(0), cfg,
+                       backend="xla")
+        counts = np.asarray(res.visit_counts)
+        policy = counts / np.maximum(counts.sum(-1, keepdims=True), 1)
+        np.testing.assert_array_equal(policy.astype(np.float32),
+                                      rec["policy"][m], err_msg=f"move {m}")
+        action = counts.argmax(-1).astype(np.int32)
+        np.testing.assert_array_equal(action, rec["action"][m])
+        states = EnvState(board=cur_b, current_player=cur_p,
+                          move_count=cur_mc,
+                          winner=jnp.full((B,), -1, jnp.int32),
+                          done=jnp.zeros((B,), bool))
+        new = jax.vmap(env.step)(states, jnp.asarray(action))
+        done = np.asarray(new.done)
+        cur_b = jnp.asarray(np.where(done[:, None, None, None], 0,
+                                     np.asarray(new.board)).astype(np.int8))
+        cur_p = jnp.asarray(
+            np.where(done, 0, np.asarray(new.current_player)).astype(np.int32))
+        cur_mc = jnp.asarray(
+            np.where(done, 0, np.asarray(new.move_count)).astype(np.int32))
