@@ -220,11 +220,25 @@ def preset(name: str) -> Config:
             train=TrainConfig(batch_size=512, selfplay_batch=512,
                               games_per_iter=512),
         ),
-        # "gomoku 9x9: deeper net, MCTS 400 sims/move"
+        # "gomoku 9x9: deeper net, MCTS 400 sims/move" (conv family)
         "gomoku9": Config(
             env="gomoku9",
             mcts=MCTSConfig(num_simulations=400, dirichlet_alpha=0.1),
             model=ModelConfig(family="resnet", channels=128, blocks=8),
+            train=TrainConfig(batch_size=512, selfplay_batch=256,
+                              games_per_iter=256),
+        ),
+        # gomoku9 on the MXU-native dense line-feature tower (round 5):
+        # rides the fused chunk kernel at A=81 (d0-peel-only tier,
+        # _use_d1/_use_d2 gates) — ~9.6-11.8k env-steps/s in the training
+        # loop vs the conv tower's 418 — and strength-validated per the
+        # dense-family playbook: 0.0 → 0.91 vs vanilla-400 by iteration
+        # 10 (docs/results/gomoku9_dense_training_curve.jsonl; the conv
+        # curve hit 0.97 at the same point).
+        "gomoku9-dense": Config(
+            env="gomoku9",
+            mcts=MCTSConfig(num_simulations=400, dirichlet_alpha=0.1),
+            model=ModelConfig(family="dense", width=512, blocks=2),
             train=TrainConfig(batch_size=512, selfplay_batch=256,
                               games_per_iter=256),
         ),

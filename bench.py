@@ -118,6 +118,7 @@ def main():
     secondary = [
         ("tictactoe", 32, 3),
         ("connect4-resnet", 8, 3),
+        ("gomoku9-dense", 8, 3),
         ("gomoku9", 2, 2),
         ("gomoku15", 1, 2),
     ]

@@ -18,6 +18,7 @@ import time
 mode = sys.argv[1] if len(sys.argv) > 1 else "fused"
 width = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 blocks = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+game = sys.argv[4] if len(sys.argv) > 4 else "gomoku9"
 if mode == "xla":
     os.environ["AZ_DISABLE_CHUNK"] = "1"
 
@@ -33,12 +34,14 @@ from alphazero_tpu.envs import make_env
 from alphazero_tpu.models import build_model, init_params
 from alphazero_tpu.training.selfplay import init_selfplay, make_selfplay_runner
 
-base = preset("gomoku9")
+base = preset(game)
 env = make_env(base.env)
 mcfg = ModelConfig(family="dense", width=width, blocks=blocks)
 model = build_model(mcfg, env)
 params = init_params(model, env, jax.random.PRNGKey(0))
-B, M = 256, 4
+# gomoku15's A=225 tree only fits scoped VMEM at B=128 (d0-peel only)
+B = 128 if env.rows * env.cols > 100 else 256
+M = 4
 
 runner = make_selfplay_runner(env, model, base.mcts, base.replay,
                               num_steps=M, donate=False)
