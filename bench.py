@@ -107,7 +107,10 @@ def main():
     from alphazero_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    budget = float(os.environ.get("AZ_BENCH_BUDGET_S", "900"))
+    # 1500 s default: six configs now (gomoku9-dense added round 5); cold
+    # compiles through the remote service can eat ~3 min per new program
+    # (the persistent cache in ~/.cache makes later runs fit easily)
+    budget = float(os.environ.get("AZ_BENCH_BUDGET_S", "1500"))
     only = os.environ.get("AZ_BENCH_CONFIGS")  # comma-separated subset
     t_start = time.perf_counter()
 
