@@ -419,10 +419,10 @@ def _descend_leaf(env, cfg, model, dcap, W_ref, aux_ref, get_board, rootp,
         chsel, slot, alloc, p0, p1, heights)
     # everything here rides a fori_loop carry — Mosaic cannot legalize
     # bool (i1) vectors in scf.for carries, so keep fields f32/i32
+    # (_apply_sim reads a0/a1/a2 from the half's apath ref directly)
     return dict(obs=obs, valid=valid, depth=depth, parent=parent,
                 action=action, alloc=alloc, leaf=leaf,
-                terminal=terminal.astype(jnp.float32), tval=tval,
-                a0=apath_s[pl.ds(0, 1), :])
+                terminal=terminal.astype(jnp.float32), tval=tval)
 
 
 def _apply_sim(env, cfg, dcap, visit_s, val_s, pc_s, path_s, apath_s,

@@ -97,7 +97,6 @@ def kernel_policy(rng):
 
 
 timeit("kernel-policy", kernel_policy, jax.random.PRNGKey(0))
-rec = timeit.__wrapped__ if False else None
 t0 = time.perf_counter()
 rec = kernel_all(jax.random.PRNGKey(0))
 float(np.asarray(rec["policy"]).ravel()[0])
