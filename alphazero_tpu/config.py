@@ -196,12 +196,13 @@ def preset(name: str) -> Config:
         # (search/pallas_fused.py).
         "connect4": Config(
             env="connect4",
-            # nseg=8: carried-state sweep (round 5) — finer sim-loop
+            # nseg=10: carried-state sweep (round 5) — finer sim-loop
             # segmentation beats the auto default 4 once the d2 peel +
-            # dead-row backup land (5.88 → 5.67 ms/move; with the
-            # pipelined halves 5.48 = 93.4k env-steps/s)
+            # dead-row backup land (5.88 → 5.67 ms/move at 8; with the
+            # pipelined halves 8→5.48, 10→5.43 = 94.4k env-steps/s,
+            # 12→5.43 flat)
             mcts=MCTSConfig(num_simulations=200, dirichlet_alpha=0.3,
-                            nseg=8),
+                            nseg=10),
             model=ModelConfig(family="dense", width=512, blocks=2),
             train=TrainConfig(batch_size=512, selfplay_batch=512,
                               games_per_iter=512),
