@@ -58,7 +58,7 @@ def _apply_overrides(cfg, args):
         tr_over["gate_games"] = args.gate_games
     if args.no_gate:
         tr_over["gate_enabled"] = False
-    if getattr(args, "lr", None):
+    if getattr(args, "lr", None) is not None:
         tr_over["learning_rate"] = args.lr
     if tr_over:
         cfg = dataclasses.replace(

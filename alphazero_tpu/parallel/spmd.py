@@ -120,25 +120,14 @@ def make_collect_chunk(env, model, cfg: Config, mesh: Mesh, num_steps: int,
         tensor_parallel = (cfg.model.family == "vit"
                            and mesh.shape["model"] > 1)
     if fused_selfplay is None:
-        from alphazero_tpu.models.dense import DenseTower
         from alphazero_tpu.search.pallas_fused import supports_selfplay_fused
         B_local = cfg.train.selfplay_batch // mesh.shape["data"]
-        if interpret:   # CPU-mesh tests/dryruns: interpret mode stands in
-            # for Mosaic, so the VMEM/platform gates relax — but the
-            # semantic gates still apply: the packed child+prior edge
-            # encoding is exact only below 512 sims (supports_fused's
-            # precision bound), and AZ_DISABLE_CHUNK must disable the
-            # kernel here too
-            import os
-            fused_selfplay = (not tensor_parallel
-                              and isinstance(model, DenseTower)
-                              and cfg.mcts.leaf_batch == 1
-                              and cfg.mcts.num_simulations + 2 < 512
-                              and not os.environ.get("AZ_DISABLE_CHUNK"))
-        else:
-            fused_selfplay = (not tensor_parallel
-                              and supports_selfplay_fused(env, B_local,
-                                                          cfg.mcts, model))
+        # interpret=True (CPU-mesh tests/dryruns) keeps the semantic gates
+        # but relaxes VMEM/platform — the predicate itself owns that split
+        fused_selfplay = (not tensor_parallel
+                          and supports_selfplay_fused(env, B_local,
+                                                      cfg.mcts, model,
+                                                      interpret=interpret))
     if fused_selfplay:
         return make_sharded_selfplay(env, model, cfg, mesh, num_steps,
                                      interpret=interpret)

@@ -64,9 +64,9 @@ def supports_fused(env, batch: int, cfg: MCTSConfig, model) -> bool:
     N = cfg.num_simulations + 1
     A = env.action_dim
     tree_bytes = (2 + A) * N * batch * 4   # visit+val + packed edges
-    if A <= 32:  # d=1 peel mirrors: three (A, A, B) buffers (_use_d1)
+    if _use_d1(env):  # d=1 peel mirrors: three (A, A, B) buffers
         tree_bytes += 3 * A * A * batch * 4
-    if A <= 16:  # d=2 peel mirrors: three (A, A², B) buffers (_use_d2)
+    if _use_d2(env):  # d=2 peel mirrors: three (A, A², B) buffers
         tree_bytes += 3 * A * A * A * batch * 4
     weight_bytes = 2 * (model.width * model.width * 2 * model.blocks
                         + model.width * 600)
@@ -356,6 +356,14 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
         rc_use = rc[:2]            # A/B: disable the d=1 peel/mirrors
     elif rc is not None and os.environ.get("AZ_NO_D2"):
         rc_use = rc[:5]            # A/B: disable the d=2 peel/mirrors
+    if rc_use is not None:
+        # mirror _descend's dcap gates: a dcap-2/3 tree has no depth-2/3
+        # nodes, and _apply_sim's d1/d2 maintenance would slice apath
+        # rows past the (dcap, B) refs at trace time
+        if dcap <= 2:
+            rc_use = rc_use[:2]
+        elif dcap <= 3:
+            rc_use = rc_use[:5]
 
     def make_sim(Nc):
         """Simulation body over the first ``Nc`` tree rows only.
@@ -738,14 +746,25 @@ def _move_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int,
 
 
 def supports_selfplay_fused(env, batch: int, cfg: MCTSConfig, model,
-                            replay_augment_ok: bool = True) -> bool:
+                            replay_augment_ok: bool = True,
+                            interpret: bool = False) -> bool:
     """Multi-move kernel applies under the same conditions as the
     single-move kernel plus Dirichlet root noise enabled-or-disabled
     uniformly (it is a static flag in-kernel).  ``AZ_DISABLE_CHUNK=1``
-    forces the per-move path (A/B timing, fallback)."""
+    forces the per-move path (A/B timing, fallback).
+
+    ``interpret=True`` (CPU-mesh tests/dryruns, where interpret mode
+    stands in for Mosaic) applies only the SEMANTIC gates — family,
+    sequential mode, the packed-edge precision bound, the kill switch —
+    and relaxes the VMEM/platform checks.  This is the single source of
+    those gates (parallel/spmd.py dispatches through it)."""
     import os
+    from alphazero_tpu.models.dense import DenseTower
     if os.environ.get("AZ_DISABLE_CHUNK"):
         return False
+    if interpret:
+        return (isinstance(model, DenseTower) and cfg.leaf_batch == 1
+                and cfg.num_simulations + 2 < 512)
     return supports_fused(env, batch, cfg, model)
 
 
@@ -901,6 +920,10 @@ def _chunk_kernel(env, cfg: MCTSConfig, dcap: int, model, n_w: int, M: int,
                 if _os.environ.get("AZ_NO_D1"):
                     rc_h = rc_h[:2]
                 elif _os.environ.get("AZ_NO_D2"):
+                    rc_h = rc_h[:5]
+                if dcap <= 2:
+                    rc_h = rc_h[:2]    # see _run_move_sims' dcap gates
+                elif dcap <= 3:
                     rc_h = rc_h[:5]
                 halves.append((
                     (lambda s=sl: (p0[:, s], p1[:, s])),

@@ -87,15 +87,14 @@ class Trainer:
             # persist the run's config beside its checkpoints so eval /
             # cross-run tools can rebuild the exact model (the reference
             # makes the operator re-type Net hyperparameters, main.py:187).
-            # Write-if-absent: an existing run's config.json is the source
-            # of truth for ITS architecture — re-opening the workdir (eval,
-            # resume with a different preset) must not clobber it, and
-            # read-only commands pass persist_config=False so legacy
-            # workdirs don't get a fabricated config either.
-            import os
+            # TRAIN runs own their workdir and write unconditionally (a
+            # re-train with new settings must refresh config.json or later
+            # restores rebuild the wrong geometry); read-only commands
+            # (eval/play) pass persist_config=False so they neither
+            # clobber an existing run's config nor fabricate one for
+            # legacy workdirs (ADVICE r4).
             from alphazero_tpu.config import save_config
-            if not os.path.exists(os.path.join(workdir, "config.json")):
-                save_config(cfg, workdir)
+            save_config(cfg, workdir)
 
     # ------------------------------------------------------------- phases
     def collect(self, games_target: int) -> dict:

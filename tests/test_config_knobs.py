@@ -81,9 +81,11 @@ def test_trainer_chunk_steps_config(monkeypatch):
     assert tr._chunk_steps == 5
 
 
-def test_trainer_persist_config_write_if_absent(tmp_path):
-    """An existing run's config.json is never clobbered by re-opening the
-    workdir, and read-only commands don't fabricate one (ADVICE r4)."""
+def test_trainer_persist_config_semantics(tmp_path):
+    """TRAIN runs own config.json (a re-train with new settings must
+    refresh it or later restores rebuild stale geometry); read-only
+    commands (persist_config=False) neither clobber nor fabricate it
+    (ADVICE r4)."""
     import dataclasses as dc
     import json
 
@@ -100,13 +102,16 @@ def test_trainer_persist_config_write_if_absent(tmp_path):
     )
     wd = str(tmp_path / "run")
     Trainer(cfg, workdir=wd)
-    stored = json.load(open(f"{wd}/config.json"))
-    assert stored["model"]["width"] == 16
-
-    # re-open with a different model config: file must be untouched
-    cfg2 = dc.replace(cfg, model=dc.replace(cfg.model, width=32))
-    Trainer(cfg2, workdir=wd)
     assert json.load(open(f"{wd}/config.json"))["model"]["width"] == 16
+
+    # read-only re-open with a different model config: file untouched
+    cfg2 = dc.replace(cfg, model=dc.replace(cfg.model, width=32))
+    Trainer(cfg2, workdir=wd, persist_config=False)
+    assert json.load(open(f"{wd}/config.json"))["model"]["width"] == 16
+
+    # a new TRAIN run into the same workdir refreshes the config
+    Trainer(cfg2, workdir=wd)
+    assert json.load(open(f"{wd}/config.json"))["model"]["width"] == 32
 
     # read-only open of a legacy workdir: nothing fabricated
     wd2 = str(tmp_path / "legacy")
