@@ -114,8 +114,12 @@ def main():
     only = os.environ.get("AZ_BENCH_CONFIGS")  # comma-separated subset
     t_start = time.perf_counter()
 
-    # headline FIRST so it is always measured within the budget
-    headline = bench_config("connect4", steps_per_chunk=32, chunks=3)
+    # headline FIRST so it is always measured within the budget.
+    # 6 chunks per window: each window ends with a BLOCKING host fetch
+    # (the IFRT-proxy round trip), which the production collect loop
+    # pipelines away — longer windows amortize it out of the measurement
+    # (3-chunk windows under-read the carried-state rate by ~4%)
+    headline = bench_config("connect4", steps_per_chunk=32, chunks=6)
     print(json.dumps(headline), flush=True)
 
     secondary = [
