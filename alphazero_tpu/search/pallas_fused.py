@@ -392,9 +392,14 @@ def _run_move_sims(env, cfg: MCTSConfig, model, dcap: int, wrefs,
     S = cfg.num_simulations
     n_seg = _env_knob("AZ_NSEG", 4 if S >= 128 else (2 if S >= 64 else 1),
                       cfg.nseg)
+    # n_seg may exceed S when a preset's tuned value meets a small --sims
+    # override (e.g. the dryrun's 8 sims with the connect4 preset's 10):
+    # degenerate segments would trace zero-row tree windows, so skip them
     lo = 1
     for k in range(1, n_seg + 1):
         hi = min(S, -(-S * k) // n_seg)
+        if hi <= lo:            # empty segment (the loop runs sims 1..S-1)
+            continue
         Nc = min(N, -(-hi // 8) * 8)
         jax.lax.fori_loop(lo, hi, make_sim(Nc), 0)
         lo = hi
@@ -596,7 +601,8 @@ def _run_move_sims_2x(env, cfg: MCTSConfig, model, dcap: int, wrefs,
     # ---- prologue: slot 1 descends; half0's forward issues first
     n_seg = _env_knob("AZ_NSEG", 4 if S >= 128 else (2 if S >= 64 else 1),
                       cfg.nseg)
-    hi1 = -(-S) // n_seg
+    n_seg = min(n_seg, max(S, 1))   # degenerate-segment guard (see
+    hi1 = max(1, -(-S) // n_seg)    # _run_move_sims' note)
     Nc0 = min(N, -(-hi1 // 8) * 8)
     pend0 = dl(0, Nc0, jnp.int32(1))
     f0 = fwd(pend0["obs"])
@@ -606,6 +612,8 @@ def _run_move_sims_2x(env, cfg: MCTSConfig, model, dcap: int, wrefs,
     lo = 1
     for k in range(1, n_seg + 1):
         hi = min(S, -(-S * k) // n_seg)
+        if hi <= lo:
+            continue
         Nc = min(N, -(-hi // 8) * 8)
 
         def body(s, carry, Nc=Nc):

@@ -449,3 +449,36 @@ def test_chunk_kernel_d0_only_mirrors_bitwise(monkeypatch):
             np.where(done, 0, np.asarray(new.current_player)).astype(np.int32))
         cur_mc = jnp.asarray(
             np.where(done, 0, np.asarray(new.move_count)).astype(np.int32))
+
+
+def test_chunk_kernel_nseg_exceeds_sims(monkeypatch):
+    """A preset-tuned nseg larger than a small --sims override must not
+    trace degenerate zero-row tree windows (round-5 regression: the
+    connect4 preset's nseg=10 with the dryrun's 8 sims)."""
+    import alphazero_tpu.search.pallas_fused as F
+
+    env = make_env("connect4")
+    model = build_model(ModelConfig(family="dense", width=64, blocks=1), env)
+    params = init_params(model, env, jax.random.PRNGKey(0))
+    kernel_stub, xla_eval = _exact_stub_forwards(env)
+    monkeypatch.setattr(F, "_leaf_eval", kernel_stub)
+
+    cfg = MCTSConfig(num_simulations=8, temperature_moves=0,
+                     use_dirichlet=False, nseg=10)
+    B, M = 4, 4
+    boards = jnp.zeros((B, 2, env.rows, env.cols), jnp.int8)
+    rec = F.run_selfplay_chunk_fused(
+        env, model, params, boards, jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), jnp.int32), jax.random.PRNGKey(7), cfg, M,
+        interpret=True, pipelined=False)
+    rec = jax.tree.map(np.asarray, rec)
+
+    cur_b, cur_p, cur_mc = (boards, jnp.zeros((B,), jnp.int32),
+                            jnp.zeros((B,), jnp.int32))
+    res = run_mcts(env, xla_eval, cur_b, cur_p, cur_mc,
+                   jnp.zeros(B, bool), jax.random.PRNGKey(0), cfg,
+                   backend="xla")
+    counts = np.asarray(res.visit_counts)
+    policy = counts / np.maximum(counts.sum(-1, keepdims=True), 1)
+    np.testing.assert_array_equal(policy.astype(np.float32),
+                                  rec["policy"][0])
